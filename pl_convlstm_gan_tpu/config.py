@@ -1,0 +1,194 @@
+"""YAML -> nested-dataclass config system.
+
+Mirrors the reference's config design (``/root/reference/src/config.py:7-132``): four
+sections (data/model/training/output) loaded from ``configs/<name>.yaml`` with an
+env-var fallback (``CONFIG_NAME``), round-trip ``to_yaml``, and ``validate()``.
+
+TPU-build extensions: ``MeshConfig`` (device mesh axes for data parallelism),
+``PrecisionConfig`` (bf16 compute policy), and GAN/forecaster keys on
+``ModelConfig``/``TrainingConfig`` for the north-star configs.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, asdict, fields
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class DataConfig:
+    """Data paths & time range (reference: src/config.py:7-17)."""
+    rain_lr_path: str = ""
+    dem_path: str = ""
+    lucc_path: str = ""
+    meta_path: str = ""
+    rain_excel_path: str = ""
+    shp_path: str = ""
+    start_year: int = 2012
+    end_year: int = 2021
+    # TPU-build extensions
+    source: str = "fenhe"          # "fenhe" | "synthetic"
+    synthetic_num_sequences: int = 256
+    synthetic_image_size: int = 64
+    synthetic_num_stations: int = 16
+    seed: int = 0
+
+
+@dataclass
+class ModelConfig:
+    """Model hyperparameters (reference: src/config.py:20-27)."""
+    hidden_dims: List[int] = field(default_factory=lambda: [16, 32])
+    T: int = 5
+    scale_factor: Optional[int] = 8
+    target_grid_size: Optional[List[int]] = None
+    input_grid_size: Optional[List[int]] = None
+    # TPU-build extensions
+    family: str = "generator"      # "generator" | "forecaster" | "gan"
+    in_channels: int = 1
+    dem_channels: int = 1
+    lu_channels: int = 0           # 0 => resolved from dataset at setup_model time
+    kernel_size: int = 3
+    convlstm_impl: str = "auto"    # "auto" | "xla" | "pallas"
+    # forecaster family
+    input_frames: int = 5
+    output_frames: int = 20
+    # discriminator (gan family)
+    disc_features: List[int] = field(default_factory=lambda: [64, 128, 256])
+
+
+@dataclass
+class TrainingConfig:
+    """Training hyperparameters (reference: src/config.py:30-55)."""
+    batch_size: int = 8
+    epochs: int = 50
+    learning_rate: float = 0.001
+    lambda_point: float = 1.0
+    lambda_conserve: float = 1.0
+    lambda_smooth: float = 0.1
+    lambda_temporal: float = 0.05
+    grad_clip_norm: float = 0.5
+    scheduler_patience: int = 5
+    scheduler_factor: float = 0.5
+    use_weighted_loss: bool = True
+    weight_strategy: str = "log"   # "log" | "stratified" | "sqrt"
+    use_early_stopping: bool = True
+    early_stopping_patience: int = 20
+    early_stopping_min_delta: float = 0.0001
+    use_split: bool = True
+    split_method: str = "year"     # "year" | "random"
+    train_years: List[int] = field(default_factory=lambda: [2012, 2018])
+    val_years: List[int] = field(default_factory=lambda: [2019, 2020])
+    test_years: List[int] = field(default_factory=lambda: [2021, 2021])
+    # TPU-build extensions
+    seed: int = 0
+    # GAN (north-star configs #2/#5)
+    disc_learning_rate: Optional[float] = None   # default: learning_rate
+    lambda_adv: float = 0.001
+    lambda_l1: float = 1.0
+    # scheduled sampling (north-star config #4)
+    scheduled_sampling: bool = False
+    sampling_decay_epochs: int = 50              # teacher-forcing prob 1 -> 0 over this many epochs
+    # resume
+    resume_from: Optional[str] = None
+
+
+@dataclass
+class OutputConfig:
+    """Output / logging (reference: src/config.py:58-64)."""
+    output_dir: str = "output"
+    log_interval: int = 10
+    save_model_interval: int = 10
+    plot_dpi: int = 300
+
+
+@dataclass
+class MeshConfig:
+    """TPU device-mesh layout (TPU-build extension; no reference equivalent —
+    the reference is single-device, src/training/trainer.py:20)."""
+    data_axis: int = 0             # 0 => use all available devices on the 'data' axis
+    axis_name: str = "data"
+
+
+@dataclass
+class PrecisionConfig:
+    """Mixed-precision policy (TPU-build extension; north-star config #4)."""
+    compute_dtype: str = "float32"   # "float32" | "bfloat16"
+    param_dtype: str = "float32"
+
+
+def _filtered(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    """Keep only keys the dataclass knows, so configs stay forward-compatible."""
+    names = {f.name for f in fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+@dataclass
+class Config:
+    """Top-level config (reference: src/config.py:68-119)."""
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+
+    @classmethod
+    def from_dict(cls, config_dict: Dict[str, Any]) -> "Config":
+        return cls(
+            data=DataConfig(**_filtered(DataConfig, config_dict.get("data", {}))),
+            model=ModelConfig(**_filtered(ModelConfig, config_dict.get("model", {}))),
+            training=TrainingConfig(**_filtered(TrainingConfig, config_dict.get("training", {}))),
+            output=OutputConfig(**_filtered(OutputConfig, config_dict.get("output", {}))),
+            mesh=MeshConfig(**_filtered(MeshConfig, config_dict.get("mesh", {}))),
+            precision=PrecisionConfig(**_filtered(PrecisionConfig, config_dict.get("precision", {}))),
+        )
+
+    @classmethod
+    def from_yaml(cls, yaml_path: str) -> "Config":
+        if not os.path.exists(yaml_path):
+            raise FileNotFoundError(f"Config file not found: {yaml_path}")
+        with open(yaml_path, "r", encoding="utf-8") as f:
+            config_dict = yaml.safe_load(f) or {}
+        return cls.from_dict(config_dict)
+
+    def to_yaml(self, yaml_path: str) -> None:
+        config_dict = asdict(self)
+        dirname = os.path.dirname(yaml_path)
+        if dirname:
+            os.makedirs(dirname, exist_ok=True)
+        with open(yaml_path, "w", encoding="utf-8") as f:
+            yaml.dump(config_dict, f, default_flow_style=False, allow_unicode=True)
+
+    def validate(self) -> None:
+        """Path warnings + range checks (reference: src/config.py:104-119)."""
+        for path_name, path_value in self.data.__dict__.items():
+            if path_name.endswith("_path") and path_value and not os.path.exists(path_value):
+                print(f"Warning: {path_name} does not exist: {path_value}")
+        if self.training.learning_rate <= 0:
+            raise ValueError("Learning rate must be positive")
+        if self.training.batch_size <= 0:
+            raise ValueError("Batch size must be positive")
+        if self.model.T <= 0:
+            raise ValueError("Time window T must be positive")
+        if self.training.epochs <= 0:
+            raise ValueError("Epochs must be positive")
+        if self.model.family not in ("generator", "forecaster", "gan"):
+            raise ValueError(f"Unknown model family: {self.model.family}")
+        if self.precision.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"Unknown compute dtype: {self.precision.compute_dtype}")
+
+
+def config_dir() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "configs")
+
+
+def load_config(config_name: str = "default") -> Config:
+    """Load ``configs/<name>.yaml`` with CONFIG_NAME env fallback
+    (reference: src/config.py:122-132)."""
+    path = os.path.join(config_dir(), f"{config_name}.yaml")
+    if not os.path.exists(path):
+        env_config = os.getenv("CONFIG_NAME", "default")
+        path = os.path.join(config_dir(), f"{env_config}.yaml")
+    return Config.from_yaml(path)

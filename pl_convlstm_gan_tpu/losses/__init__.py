@@ -1,0 +1,14 @@
+from .combined import (CombinedLoss, combined_loss, point_supervision_loss,
+                       conservation_loss, gradient_loss, temporal_consistency_loss,
+                       compute_sample_weights, station_rmse, prepare_station_batch)
+from .adversarial import (bce_with_logits, discriminator_loss, generator_adversarial_loss,
+                          gan_generator_loss, l1_loss, l2_loss)
+from .ssim import ssim
+
+__all__ = [
+    "CombinedLoss", "combined_loss", "point_supervision_loss", "conservation_loss",
+    "gradient_loss", "temporal_consistency_loss", "compute_sample_weights",
+    "station_rmse", "prepare_station_batch",
+    "bce_with_logits", "discriminator_loss", "generator_adversarial_loss",
+    "gan_generator_loss", "l1_loss", "l2_loss", "ssim",
+]

@@ -1,0 +1,113 @@
+"""Stacked ConvLSTM sequence-to-sequence forecaster (video / radar nowcasting).
+
+North-star model family (BASELINE.json configs #1/#3/#4/#5): N stacked ConvLSTM
+layers consume ``input_frames`` frames, then roll out ``output_frames`` future frames
+autoregressively, with optional scheduled sampling (teacher forcing with per-step
+Bernoulli probability) for training stability. The reference repo's Generator only
+reconstructs aligned timesteps (SURVEY.md §0); future rollout is the extension the
+driver benchmarks ("10-frame 128x128 rollouts").
+
+TPU-first design: encode and decode phases run as ONE ``lax.scan`` of length
+``T_in + T_out - 1``; phase switching is a static per-step mask passed as scan inputs,
+so there is a single compiled step body and no unrolled Python loop. Scheduled-sampling
+Bernoulli draws are precomputed outside the scan (shape [S, B]) — no RNG threading
+through the carry. Sequence-length scaling (the build's answer to sequence parallelism,
+SURVEY.md §5) comes from this scan plus optional ``jax.checkpoint`` on the body."""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .layers import Conv2dTorch, ConvLSTMCell
+
+
+class _StackedStepCore(nn.Module):
+    """One scan step: input select -> stacked cells -> conv head."""
+    hidden_dims: Tuple[int, ...]
+    out_channels: int
+    kernel_size: int
+    impl: str
+    dtype: Optional[jnp.dtype]
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, step_inputs):
+        states, prev_out = carry
+        frame_t, use_frame, teacher_t, use_teacher = step_inputs
+        # encode phase: feed the observed frame; decode phase: feed our previous
+        # prediction, or the ground-truth target when teacher forcing fires.
+        x = jnp.where(use_frame[:, None, None, None], frame_t,
+                      jnp.where(use_teacher[:, None, None, None], teacher_t, prev_out))
+        new_states = []
+        for li, feat in enumerate(self.hidden_dims):
+            h, c = states[li]
+            h, c = ConvLSTMCell(feat, self.kernel_size, impl=self.impl,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name=f"cell_{li}")(x, h, c)
+            new_states.append((h, c))
+            x = h
+        out = Conv2dTorch(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="head")(x)
+        return (tuple(new_states), out), out
+
+
+class ConvLSTMForecaster(nn.Module):
+    """frames [B, T_in, C, H, W] -> predictions [B, T_out, C, H, W]."""
+    hidden_dims: Sequence[int] = (64, 64, 64)
+    input_frames: int = 5
+    output_frames: int = 20
+    in_channels: int = 1
+    kernel_size: int = 3
+    convlstm_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, frames, targets=None, teacher_forcing_prob=0.0, rng=None):
+        """targets [B, T_out, C, H, W] + rng enable scheduled sampling during
+        training; at inference leave both unset (pure autoregressive rollout)."""
+        b, t_in, c, h, w = frames.shape
+        assert t_in == self.input_frames, (t_in, self.input_frames)
+        t_out = self.output_frames
+        steps = t_in + t_out - 1
+        cdtype = self.dtype or frames.dtype
+
+        x = jnp.transpose(frames, (1, 0, 3, 4, 2)).astype(cdtype)  # [T_in,B,H,W,C]
+        # per-step scan inputs, padded to the full step count
+        pad = jnp.zeros((steps - t_in, b, h, w, c), cdtype)
+        frame_seq = jnp.concatenate([x, pad], axis=0)
+        use_frame = (jnp.arange(steps) < t_in)
+        use_frame = jnp.broadcast_to(use_frame[:, None], (steps, b))
+
+        if targets is not None:
+            tgt = jnp.transpose(targets, (1, 0, 3, 4, 2)).astype(cdtype)
+            # teacher input for step s >= t_in is target frame (s - t_in)
+            tpad = jnp.zeros((t_in - 1, b, h, w, c), cdtype)
+            teacher_seq = jnp.concatenate([tpad, tgt], axis=0)[:steps]
+        else:
+            teacher_seq = jnp.zeros((steps, b, h, w, c), cdtype)
+
+        if rng is not None and targets is not None:
+            draws = jax.random.bernoulli(rng, teacher_forcing_prob, (steps, b))
+        else:
+            draws = jnp.zeros((steps, b), bool)
+        use_teacher = draws & ~use_frame
+
+        zeros = lambda f: jnp.zeros((b, h, w, f), cdtype)
+        states0 = tuple((zeros(f), zeros(f)) for f in self.hidden_dims)
+        carry0 = (states0, jnp.zeros((b, h, w, c), cdtype))
+
+        core = nn.scan(_StackedStepCore,
+                       variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=0, out_axes=0)(
+            hidden_dims=tuple(self.hidden_dims), out_channels=c,
+            kernel_size=self.kernel_size, impl=self.convlstm_impl,
+            dtype=cdtype, param_dtype=self.param_dtype, name="core")
+        _, outs = core(carry0, (frame_seq, use_frame, teacher_seq, use_teacher))
+
+        preds = outs[t_in - 1:t_in - 1 + t_out]                     # [T_out,B,H,W,C]
+        return jnp.transpose(preds, (1, 0, 4, 2, 3)).astype(jnp.float32)

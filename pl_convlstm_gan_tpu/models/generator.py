@@ -1,0 +1,175 @@
+"""Generator: coordconv stem -> 2-cell ConvLSTM recurrence -> PixelShuffle x8 upsample
+-> DEM/LUCC attention fusion -> conv head.
+
+Capability parity with the reference Generator (``/root/reference/src/models/
+generator.py:31-205``) with a TPU-first restructure:
+
+- The Python time loop (generator.py:164-205) becomes a ``lax.scan`` (via ``nn.scan``)
+  carrying ``(h1, c1, h2, c2)`` — compiled once, O(1) code size in T.
+- The HR decode (upsample -> attention -> head) has *no* cross-time dependence, so
+  instead of running per-timestep inside the loop it runs ONCE over the merged
+  ``(T*B)`` batch after the scan — bigger matmuls for the MXU, better utilization
+  (an optimization the reference structure precludes; SURVEY.md §3.3).
+- Upsample blocks are constructed statically from the resolved scale factor: the
+  reference's lazy first-forward construction (generator.py:73-92,128-132) is a
+  PyTorch wart that makes the param set depend on the first call — here the resolved
+  scale is static at trace time, so the block count (= floor(log2(int(scale)))) is
+  config-determined and checkpoints are stable.
+- Dual sizing modes preserved: ``scale_factor`` OR ``target_grid_size`` (meters) with
+  ``input_grid_size`` passed at call time (generator.py:39-48,106-126), including the
+  non-power-of-2 remainder bilinear path (generator.py:179-195) and exact
+  target-size resize (generator.py:188-195).
+
+Public tensor API mirrors the reference (NCHW-style [B, T, 1, H, W] in/out); layout is
+transposed once at the boundary to NHWC internally."""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.coords import add_coord_channels
+from ..ops.resize import resize_bilinear, resize_nearest
+from .layers import Conv2dTorch, ConvLSTMCell, GatedCovariateAttention, UpsampleBlock
+
+
+class _RecurrentCore(nn.Module):
+    """Scan body: two stacked ConvLSTM cells (reference generator.py:57-58,170-171)."""
+    hidden_dims: Tuple[int, int]
+    kernel_size: int
+    impl: str
+    dtype: Optional[jnp.dtype]
+    param_dtype: jnp.dtype
+
+    @nn.compact
+    def __call__(self, carry, x_t):
+        h1, c1, h2, c2 = carry
+        h1, c1 = ConvLSTMCell(self.hidden_dims[0], self.kernel_size, impl=self.impl,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="cell1")(x_t, h1, c1)
+        h2, c2 = ConvLSTMCell(self.hidden_dims[1], self.kernel_size, impl=self.impl,
+                              dtype=self.dtype, param_dtype=self.param_dtype,
+                              name="cell2")(h1, h2, c2)
+        return (h1, c1, h2, c2), h2
+
+
+def resolve_scale(h: int, w: int,
+                  scale_factor: Optional[float],
+                  target_grid_size: Optional[Tuple[int, int]],
+                  input_grid_size: Optional[Tuple[int, int]]):
+    """Resolve (scale, target_size) per the reference's dual sizing modes
+    (generator.py:106-126). All-static: runs in Python at trace time."""
+    if target_grid_size is not None and input_grid_size is not None:
+        input_gx, input_gy = input_grid_size
+        target_gx, target_gy = target_grid_size
+        scale_w = input_gx / target_gx
+        scale_h = input_gy / target_gy
+        target_size = (int(h * scale_h), int(w * scale_w))
+        return max(scale_h, scale_w), target_size
+    if scale_factor is not None:
+        return float(scale_factor), None
+    return 1.0, None
+
+
+def num_upsample_blocks(scale: float) -> int:
+    """floor(log2(int(scale))) 2x blocks; remainder handled by bilinear
+    (reference generator.py:73-92)."""
+    s = int(scale)
+    n = 0
+    while s >= 2:
+        n += 1
+        s //= 2
+    return n
+
+
+class Generator(nn.Module):
+    """Spatiotemporal downscaling generator. See module docstring."""
+    in_channels: int = 1
+    dem_channels: int = 1
+    lu_channels: int = 0
+    hidden_dims: Sequence[int] = (16, 32)
+    target_grid_size: Optional[Tuple[int, int]] = None
+    scale_factor: Optional[float] = None
+    kernel_size: int = 3
+    convlstm_impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, rain_lr, dem, lu, input_grid_size=None):
+        """rain_lr: [B, T, C, H, W]; dem: [B, Cd, Hd, Wd]; lu: [B, Cl, Hl, Wl]
+        (reference layout, generator.py:94-100). Returns [B, T, 1, H', W']."""
+        b, t, _, h, w = rain_lr.shape
+        hd = tuple(self.hidden_dims)
+        cdtype = self.dtype or rain_lr.dtype
+
+        scale, target_size = resolve_scale(h, w, self.scale_factor,
+                                           self.target_grid_size, input_grid_size)
+        n_blocks = num_upsample_blocks(scale)
+        remaining = scale / (2 ** n_blocks)
+        if target_size is not None:
+            final_h, final_w = target_size
+        else:
+            final_h, final_w = int(h * scale), int(w * scale)
+
+        # --- boundary: NCHW-style -> time-major NHWC ---
+        x = jnp.transpose(rain_lr, (1, 0, 3, 4, 2)).astype(cdtype)  # [T, B, H, W, C]
+
+        # --- stem: coordconv + init_conv over the merged (T*B) batch ---
+        xm = x.reshape(t * b, h, w, self.in_channels)
+        xm = add_coord_channels(xm)
+        xm = nn.relu(Conv2dTorch(hd[0], (3, 3), padding=1, dtype=cdtype,
+                                 param_dtype=self.param_dtype, name="init_conv")(xm))
+        x = xm.reshape(t, b, h, w, hd[0])
+
+        # --- recurrence: lax.scan over time, carry = (h1, c1, h2, c2) at LR ---
+        zeros = lambda ch: jnp.zeros((b, h, w, ch), cdtype)
+        carry0 = (zeros(hd[0]), zeros(hd[0]), zeros(hd[1]), zeros(hd[1]))
+        core = nn.scan(_RecurrentCore,
+                       variable_broadcast="params",
+                       split_rngs={"params": False},
+                       in_axes=0, out_axes=0)(
+            hidden_dims=(hd[0], hd[1]), kernel_size=self.kernel_size,
+            impl=self.convlstm_impl, dtype=cdtype, param_dtype=self.param_dtype,
+            name="recurrence")
+        _, h2_seq = core(carry0, x)                                # [T, B, H, W, hd1]
+
+        # --- decode ONCE over merged (T*B): upsample -> attention -> head ---
+        feat = h2_seq.reshape(t * b, h, w, hd[1])
+        for i in range(n_blocks):
+            feat = UpsampleBlock(hd[1], 2, dtype=cdtype,
+                                 param_dtype=self.param_dtype,
+                                 name=f"upsample_{i}")(feat)
+        if remaining > 1:
+            rh, rw = feat.shape[1], feat.shape[2]
+            feat = resize_bilinear(feat, int(rh * remaining), int(rw * remaining))
+        if target_size is not None:
+            feat = resize_bilinear(feat, final_h, final_w)
+
+        # covariates to final size: DEM bilinear, LUCC nearest (generator.py:143-153),
+        # tiled over T to align with the merged (T*B) batch.
+        dem_hr = resize_bilinear(jnp.transpose(dem, (0, 2, 3, 1)).astype(cdtype),
+                                 final_h, final_w)
+        lu_hr = resize_nearest(jnp.transpose(lu, (0, 2, 3, 1)).astype(cdtype),
+                               final_h, final_w)
+        dem_hr = jnp.tile(dem_hr, (t, 1, 1, 1))
+        lu_hr = jnp.tile(lu_hr, (t, 1, 1, 1))
+
+        feat = GatedCovariateAttention(hd[1], dtype=cdtype,
+                                       param_dtype=self.param_dtype,
+                                       name="dem_attn")(feat, dem_hr)
+        feat = GatedCovariateAttention(hd[1], dtype=cdtype,
+                                       param_dtype=self.param_dtype,
+                                       name="lu_attn")(feat, lu_hr)
+
+        out = Conv2dTorch(32, (3, 3), padding=1, dtype=cdtype,
+                          param_dtype=self.param_dtype, name="post_conv1")(feat)
+        out = nn.relu(out)
+        out = Conv2dTorch(1, (3, 3), padding=1, dtype=cdtype,
+                          param_dtype=self.param_dtype, name="post_conv2")(out)
+
+        # --- boundary: back to [B, T, 1, H', W'] ---
+        out = out.reshape(t, b, final_h, final_w, 1)
+        return jnp.transpose(out, (1, 0, 4, 2, 3)).astype(jnp.float32)

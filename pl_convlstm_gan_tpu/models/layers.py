@@ -1,0 +1,101 @@
+"""Shared flax building blocks: torch-default-init conv, ConvLSTM cell module,
+upsample block, covariate attention gates.
+
+These re-express the reference's building blocks (SURVEY.md §2.1 rows 4-7) as flax
+modules over the functional ops in ``pl_convlstm_gan_tpu.ops``. Layout is NHWC; params
+stay in ``param_dtype`` (f32) while compute runs in ``dtype`` (f32 or bf16)."""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.convlstm import ConvLSTMParams, convlstm_step
+from ..ops.nn import conv2d, torch_bias_init, torch_kernel_init
+from ..ops.pixel_shuffle import pixel_shuffle
+
+
+class Conv2dTorch(nn.Module):
+    """NHWC conv with PyTorch Conv2d default init (kaiming_uniform(a=sqrt(5)))."""
+    features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+    strides: Tuple[int, int] = (1, 1)
+    padding: int | str = "SAME"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", torch_kernel_init,
+                            (kh, kw, cin, self.features), self.param_dtype)
+        dtype = self.dtype or x.dtype
+        bias = None
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init(kh * kw * cin),
+                              (self.features,), self.param_dtype)
+            bias = bias.astype(dtype)
+        return conv2d(x.astype(dtype), kernel.astype(dtype), bias,
+                      stride=self.strides, padding=self.padding)
+
+
+class ConvLSTMCell(nn.Module):
+    """One ConvLSTM cell (reference: src/models/convlstm.py:4-28) as a flax module.
+
+    The actual step runs through ``ops.convlstm.convlstm_step`` so the XLA and Pallas
+    implementations are interchangeable under identical parameters."""
+    features: int
+    kernel_size: int = 3
+    impl: str = "xla"
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        cin = x.shape[-1] + self.features
+        k = self.kernel_size
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, cin, 4 * self.features), self.param_dtype)
+        bias = self.param("bias", torch_bias_init(k * k * cin),
+                          (4 * self.features,), self.param_dtype)
+        dtype = self.dtype or x.dtype
+        params = ConvLSTMParams(kernel.astype(dtype), bias.astype(dtype))
+        return convlstm_step(params, x.astype(dtype), h.astype(dtype),
+                             c.astype(dtype), impl=self.impl)
+
+
+class UpsampleBlock(nn.Module):
+    """conv(C -> C*r^2, 3x3) -> PixelShuffle(r) -> ReLU
+    (reference: src/models/generator.py:10-28)."""
+    features: int
+    upscale: int = 2
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv2dTorch(self.features * self.upscale ** 2, (3, 3), padding=1,
+                        dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="conv")(x)
+        x = pixel_shuffle(x, self.upscale)
+        return nn.relu(x)
+
+
+class GatedCovariateAttention(nn.Module):
+    """x * sigmoid(conv1x1(relu(conv3x3(cov)))) multiplicative gating
+    (reference: src/models/attention.py:3-26; DEM and LUCC variants share the shape)."""
+    features: int
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, cov):
+        a = Conv2dTorch(self.features // 2, (3, 3), padding=1, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_reduce")(cov)
+        a = nn.relu(a)
+        a = Conv2dTorch(self.features, (1, 1), padding=0, dtype=self.dtype,
+                        param_dtype=self.param_dtype, name="conv_gate")(a)
+        return x * nn.sigmoid(a)

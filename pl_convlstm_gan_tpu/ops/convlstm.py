@@ -1,0 +1,63 @@
+"""Functional ConvLSTM cell primitives.
+
+Reference math (``/root/reference/src/models/convlstm.py:16-28``): one conv over
+``concat(x, h)`` emitting ``4*hidden`` channels, split into (i, f, o, g) in that order,
+then
+
+    c' = sigmoid(f) * c + sigmoid(i) * tanh(g)
+    h' = sigmoid(o) * tanh(c')
+
+TPU-first design: the cell is a *pure function* of ``(params, x, h, c)`` so it can be
+the body of a ``lax.scan`` over time, and the gate elementwise block is factored out
+(``convlstm_gates``) so the Pallas fused kernel (``ops/pallas/convlstm_kernel.py``) and
+the XLA path share one definition of the math. Channel layout is NHWC; the gate split
+is along the last (lane) axis, which keeps the split a no-copy view on TPU."""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .nn import conv2d
+
+
+class ConvLSTMParams(NamedTuple):
+    """Weights for one cell: kernel [Kh, Kw, Cin+Ch, 4*Ch] (HWIO), bias [4*Ch]."""
+    kernel: jnp.ndarray
+    bias: jnp.ndarray
+
+
+def convlstm_gates(z: jnp.ndarray, c: jnp.ndarray):
+    """Elementwise gate math. z: [..., 4*Ch] pre-activations (i|f|o|g order), c: [..., Ch].
+
+    Returns (h_next, c_next)."""
+    ch = c.shape[-1]
+    zi = z[..., 0 * ch:1 * ch]
+    zf = z[..., 1 * ch:2 * ch]
+    zo = z[..., 2 * ch:3 * ch]
+    zg = z[..., 3 * ch:4 * ch]
+    i = jax.nn.sigmoid(zi)
+    f = jax.nn.sigmoid(zf)
+    o = jax.nn.sigmoid(zo)
+    g = jnp.tanh(zg)
+    c_next = f * c + i * g
+    h_next = o * jnp.tanh(c_next)
+    return h_next, c_next
+
+
+def convlstm_step_xla(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
+                      c: jnp.ndarray):
+    """One ConvLSTM step via XLA conv. x: [B,H,W,Cin], h/c: [B,H,W,Ch]."""
+    xh = jnp.concatenate([x, h], axis=-1)
+    z = conv2d(xh, params.kernel, params.bias, padding="SAME")
+    return convlstm_gates(z, c)
+
+
+def convlstm_step(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
+                  c: jnp.ndarray, impl: str = "xla"):
+    """Impl-dispatching cell step ('xla' | 'pallas')."""
+    if impl == "pallas":
+        from .pallas.convlstm_kernel import convlstm_step_pallas
+        return convlstm_step_pallas(params, x, h, c)
+    return convlstm_step_xla(params, x, h, c)
