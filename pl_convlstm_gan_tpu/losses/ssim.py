@@ -1,0 +1,57 @@
+"""SSIM (structural similarity) for nowcasting evaluation.
+
+North-star metric (BASELINE.json config #3: "5-in/20-out rollout with SSIM eval").
+Standard Wang et al. 2004 formulation with an 11x11 Gaussian window (sigma 1.5),
+matching the torchmetrics/skimage defaults (gaussian window, K1=0.01, K2=0.03).
+
+TPU-first: the Gaussian window is separable, so local means/variances are computed
+with two 1-D depthwise convolutions (VALID padding, per skimage/torchmetrics
+convention of cropping the border) — all fused by XLA."""
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+
+def _gaussian_kernel(size: int, sigma: float) -> np.ndarray:
+    x = np.arange(size, dtype=np.float64) - (size - 1) / 2
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
+    """Separable VALID gaussian filter over H, W of [N, H, W, 1]."""
+    n = win.shape[0]
+    kh = win.reshape(n, 1, 1, 1)
+    kw = win.reshape(1, n, 1, 1)
+    dn = ("NHWC", "HWIO", "NHWC")
+    y = lax.conv_general_dilated(x, kh, (1, 1), "VALID", dimension_numbers=dn)
+    return lax.conv_general_dilated(y, kw, (1, 1), "VALID", dimension_numbers=dn)
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
+         window_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """Mean SSIM over all frames. pred/target: [..., H, W] (any leading dims; a
+    trailing channel dim of size 1 is also accepted as [..., H, W, 1])."""
+    if pred.shape[-1] == 1 and pred.ndim >= 3:
+        p, t = pred, target
+    else:
+        p, t = pred[..., None], target[..., None]
+    h, w = p.shape[-3], p.shape[-2]
+    p = p.reshape(-1, h, w, 1).astype(jnp.float32)
+    t = t.reshape(-1, h, w, 1).astype(jnp.float32)
+
+    win = jnp.asarray(_gaussian_kernel(window_size, sigma))
+    mu_p = _blur(p, win)
+    mu_t = _blur(t, win)
+    mu_pp = _blur(p * p, win) - mu_p * mu_p
+    mu_tt = _blur(t * t, win) - mu_t * mu_t
+    mu_pt = _blur(p * t, win) - mu_p * mu_t
+
+    c1 = (k1 * data_range) ** 2
+    c2 = (k2 * data_range) ** 2
+    num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
+    den = (mu_p ** 2 + mu_t ** 2 + c1) * (mu_pp + mu_tt + c2)
+    return (num / den).mean()

@@ -1,0 +1,189 @@
+"""Loss parity + property tests, mirroring the reference loss test strategy
+(/root/reference/test/test_loss_fix.py): component composition via allclose,
+conservation on the real grid shape, vectorized point loss with 35 stations,
+smoothness ordering property — plus torch-parity checks and GAN/SSIM coverage."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from pl_convlstm_gan_tpu.losses import (
+    CombinedLoss, combined_loss, compute_sample_weights, conservation_loss,
+    gradient_loss, point_supervision_loss, station_rmse, temporal_consistency_loss,
+    bce_with_logits, discriminator_loss, gan_generator_loss, ssim,
+)
+
+
+def test_default_lambdas_match_reference():
+    """Reference defaults: 1.0/1.0/0.1/0.05 (combined_loss.py:7)."""
+    m = CombinedLoss()
+    assert (m.lambda_point, m.lambda_conserve, m.lambda_smooth, m.lambda_temporal) \
+        == (1.0, 1.0, 0.1, 0.05)
+
+
+def test_total_is_weighted_sum(rng):
+    """Mirrors test_loss_fix.py:141-187: total == sum of lambda * component."""
+    pred = jnp.asarray(rng.standard_normal((2, 5, 1, 64, 64), dtype=np.float32))
+    lr = jnp.asarray(rng.standard_normal((2, 5, 1, 8, 8), dtype=np.float32))
+    coords = jnp.asarray(rng.integers(0, 8, (5, 2)))
+    vals = jnp.abs(jnp.asarray(rng.standard_normal((2, 5, 5), dtype=np.float32)))
+    total, d = combined_loss(pred, lr, coords, vals, scale_factor=8.0,
+                             lambda_point=0.3, lambda_conserve=0.7,
+                             lambda_smooth=0.2, lambda_temporal=0.1)
+    expect = 0.3 * d["point"] + 0.7 * d["conserve"] + 0.2 * d["smooth"] \
+        + 0.1 * d["temporal"]
+    np.testing.assert_allclose(float(total), float(expect), rtol=1e-6)
+
+
+def test_conservation_matches_torch(rng):
+    """Area-downscale parity incl. the reference grid 120x96 -> 15x12
+    (test_loss_fix.py:38-67)."""
+    pred = rng.standard_normal((2, 5, 1, 120, 96), dtype=np.float32)
+    lr = rng.standard_normal((2, 5, 1, 15, 12), dtype=np.float32)
+    ours = conservation_loss(jnp.asarray(pred), jnp.asarray(lr))
+    b, t = 2, 5
+    pt = torch.from_numpy(pred).view(b * t, 1, 120, 96)
+    down = F.interpolate(pt, size=(15, 12), mode="area").view(b, t, 1, 15, 12)
+    theirs = (down - torch.from_numpy(lr)).abs().mean()
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+    assert float(ours) >= 0
+
+
+def test_point_loss_matches_torch_reference_math(rng):
+    """Vectorized station loss vs an inline torch computation of the reference
+    semantics (combined_loss.py:79-141), 35 stations (test_loss_fix.py:70-107)."""
+    b, t, h_lr, w_lr, s = 2, 5, 15, 12, 35
+    scale = 8.0
+    h, w = int(h_lr * scale), int(w_lr * scale)
+    pred = rng.standard_normal((b, t, 1, h, w), dtype=np.float32)
+    coords = rng.integers(0, min(h_lr, w_lr), (s, 2))
+    vals = np.abs(rng.standard_normal((b, t, s), dtype=np.float32)) * 30
+    vals[0, 0, 0] = np.nan  # NaN obs must be masked (combined_loss.py:125)
+
+    ours = point_supervision_loss(jnp.asarray(pred), jnp.asarray(coords),
+                                  jnp.asarray(vals), scale, True, "log")
+
+    # torch mirror of the reference math
+    pt = torch.from_numpy(pred)[:, :, 0]
+    c = torch.from_numpy(coords)
+    scaled = ((c.float() + 0.5) * scale - 0.5).long()
+    rows, cols = scaled[:, 0], scaled[:, 1]
+    valid = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
+    vr, vc = rows[valid], cols[valid]
+    n = vr.shape[0]
+    bi = torch.arange(b).view(b, 1, 1).expand(b, t, n)
+    ti = torch.arange(t).view(1, t, 1).expand(b, t, n)
+    pa = pt[bi, ti, vr.view(1, 1, -1).expand(b, t, n), vc.view(1, 1, -1).expand(b, t, n)]
+    obs = torch.from_numpy(vals)[:, :, valid]
+    m = ~torch.isnan(obs)
+    wts = 1.0 + torch.log1p(obs[m])
+    theirs = (F.l1_loss(pa[m], obs[m], reduction="none") * wts).mean()
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_point_loss_out_of_bounds_and_empty(rng):
+    pred = jnp.asarray(rng.standard_normal((1, 2, 1, 16, 16), dtype=np.float32))
+    # station scaled out of bounds at scale 1 on a 16x16 grid
+    coords = jnp.asarray(np.array([[100, 100]]))
+    vals = jnp.asarray(rng.standard_normal((1, 2, 1), dtype=np.float32))
+    out = point_supervision_loss(pred, coords, vals, 1.0)
+    assert float(out) == 0.0
+    # all-NaN observations
+    vals_nan = jnp.full((1, 2, 1), jnp.nan)
+    coords_ok = jnp.asarray(np.array([[3, 3]]))
+    assert float(point_supervision_loss(pred, coords_ok, vals_nan, 1.0)) == 0.0
+
+
+def test_smoothness_ordering_property(rng):
+    """gradient_loss(constant) < gradient_loss(noise) (test_loss_fix.py:110-138)."""
+    const = jnp.ones((1, 2, 1, 32, 32))
+    noise = jnp.asarray(rng.standard_normal((1, 2, 1, 32, 32), dtype=np.float32))
+    assert float(gradient_loss(const)) < float(gradient_loss(noise))
+    assert float(gradient_loss(const)) == 0.0
+
+
+def test_temporal_loss_zero_for_static_sequence(rng):
+    frame = rng.standard_normal((1, 1, 1, 8, 8), dtype=np.float32)
+    seq = jnp.asarray(np.repeat(frame, 5, axis=1))
+    assert float(temporal_consistency_loss(seq)) == 0.0
+
+
+def test_weight_strategies(rng):
+    r = jnp.asarray([0.0, 5.0, 15.0, 30.0, 60.0])
+    np.testing.assert_allclose(np.asarray(compute_sample_weights(r, True, "log")),
+                               1 + np.log1p(np.asarray(r)), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(compute_sample_weights(r, True, "stratified")),
+                                  [1.0, 1.0, 2.0, 3.0, 5.0])
+    np.testing.assert_allclose(np.asarray(compute_sample_weights(r, True, "sqrt")),
+                               1 + np.sqrt(np.asarray(r)), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(compute_sample_weights(r, False, "log")),
+                                  np.ones(5))
+
+
+def test_station_rmse_matches_manual(rng):
+    b, t, h, w = 2, 3, 32, 32
+    pred = rng.standard_normal((b, t, 1, h, w), dtype=np.float32)
+    coords = np.array([[4, 5], [10, 2]])
+    vals = rng.standard_normal((b, t, 2), dtype=np.float32)
+    out = station_rmse(jnp.asarray(pred), jnp.asarray(coords), jnp.asarray(vals), 1.0)
+    # scale 1: scaled coord = floor(c + 0.5 - 0.5) = c
+    pa = pred[:, :, 0][:, :, coords[:, 0], coords[:, 1]]
+    expect = np.sqrt(np.mean((pa - vals) ** 2))
+    np.testing.assert_allclose(float(out), expect, rtol=1e-5)
+
+
+def test_loss_is_jittable_and_differentiable(rng):
+    pred = jnp.asarray(rng.standard_normal((1, 3, 1, 32, 32), dtype=np.float32))
+    lr = jnp.asarray(rng.standard_normal((1, 3, 1, 8, 8), dtype=np.float32))
+    coords = jnp.asarray(rng.integers(0, 8, (4, 2)))
+    vals = jnp.abs(jnp.asarray(rng.standard_normal((1, 3, 4), dtype=np.float32)))
+
+    @jax.jit
+    def f(p):
+        total, _ = combined_loss(p, lr, coords, vals, 4.0)
+        return total
+
+    g = jax.grad(f)(pred)
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------- adversarial + ssim ----------------
+
+def test_bce_matches_torch(rng):
+    logits = rng.standard_normal((4, 7), dtype=np.float32)
+    targets = (rng.random((4, 7)) > 0.5).astype(np.float32)
+    ours = bce_with_logits(jnp.asarray(logits), jnp.asarray(targets))
+    theirs = F.binary_cross_entropy_with_logits(torch.from_numpy(logits),
+                                                torch.from_numpy(targets))
+    np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
+
+
+def test_discriminator_loss_behaviour(rng):
+    # perfect D: large positive real logits, large negative fake logits -> loss ~ 0
+    good, _ = discriminator_loss(jnp.full((2, 4), 20.0), jnp.full((2, 4), -20.0))
+    bad, _ = discriminator_loss(jnp.full((2, 4), -20.0), jnp.full((2, 4), 20.0))
+    assert float(good) < 1e-6 < float(bad)
+
+
+def test_gan_generator_loss_components(rng):
+    pred = jnp.asarray(rng.standard_normal((2, 3, 1, 8, 8), dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((2, 3, 1, 8, 8), dtype=np.float32))
+    logits = jnp.asarray(rng.standard_normal((2, 3, 1, 2, 2), dtype=np.float32))
+    total, d = gan_generator_loss(logits, pred, tgt, lambda_adv=0.5, lambda_l1=2.0)
+    np.testing.assert_allclose(float(total),
+                               0.5 * float(d["g_adv"]) + 2.0 * float(d["g_l1"]),
+                               rtol=1e-6)
+
+
+def test_ssim_identity_and_range(rng):
+    x = rng.random((2, 3, 1, 32, 32)).astype(np.float32)
+    assert float(ssim(jnp.asarray(x), jnp.asarray(x))) == pytest.approx(1.0, abs=1e-5)
+    y = rng.random((2, 3, 1, 32, 32)).astype(np.float32)
+    val = float(ssim(jnp.asarray(x), jnp.asarray(y)))
+    assert -1.0 <= val < 1.0
+    # more similar pair scores higher
+    close = x + 0.01 * y
+    assert float(ssim(jnp.asarray(x), jnp.asarray(close))) > val
