@@ -1,0 +1,31 @@
+"""Main entry point — mirrors the reference CLI (``/root/reference/main.py:11-24``):
+``python main.py --config <name>`` builds a trainer, validates the config, trains.
+
+The config's ``model.family`` selects the trainer: "generator" (downscaling parity
+path) uses ``Trainer``; "forecaster"/"gan" (north-star sequence-prediction families)
+use ``SequenceTrainer``."""
+import argparse
+
+from pl_convlstm_gan_tpu.config import load_config
+from pl_convlstm_gan_tpu.train.trainer import Trainer
+from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+
+
+def main():
+    parser = argparse.ArgumentParser(description="pl-convlstm-gan-tpu training")
+    parser.add_argument("--config", type=str, default="default",
+                        help="Configuration name (configs/<name>.yaml)")
+    args = parser.parse_args()
+
+    config = load_config(args.config)
+    config.validate()
+
+    if config.model.family in ("forecaster", "gan"):
+        trainer = SequenceTrainer(config=config)
+    else:
+        trainer = Trainer(config=config)
+    trainer.train()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,13 +26,16 @@ def conv2d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray | None = None,
         stride = (stride, stride)
     if isinstance(padding, int):
         padding = [(padding, padding), (padding, padding)]
-    return lax.conv_general_dilated(
+    # NOTE: no preferred_element_type here — the TPU MXU accumulates bf16 convs in
+    # f32 natively, and an explicit f32 preference breaks the VJP dtype contract
+    # (f32 cotangent vs bf16 kernel) under mixed precision.
+    out = lax.conv_general_dilated(
         x, kernel,
         window_strides=tuple(stride),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
-    ).astype(x.dtype) + (0 if bias is None else bias.astype(x.dtype))
+    )
+    return out if bias is None else out + bias.astype(out.dtype)
 
 
 def torch_kernel_init(key, shape, dtype=jnp.float32):

@@ -1,0 +1,60 @@
+"""Device mesh construction and sharding helpers.
+
+The reference is single-process, single-device (``/root/reference/src/training/
+trainer.py:20``; SURVEY.md §2.2: no parallelism of any kind). The TPU build scales by
+data parallelism over a 1-D ``jax.sharding.Mesh`` (north-star: v5e-16 DP): batches are
+sharded on the 'data' axis, parameters/optimizer state replicated, gradients reduced
+with ``psum`` over ICI inside ``shard_map`` (see train_parallel.py). Multi-host
+bootstrap goes through ``jax.distributed.initialize`` (call ``maybe_init_distributed``
+before device queries on multi-host slices)."""
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_init_distributed() -> None:
+    """Initialize jax.distributed when launched in a multi-host environment
+    (coordinator env vars present) — no-op otherwise."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(data_axis_size: int = 0, axis_name: str = "data",
+              devices: Optional[Sequence] = None) -> Mesh:
+    """1-D mesh over `data_axis_size` devices (0 = all available)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = data_axis_size or len(devices)
+    if n > len(devices):
+        raise ValueError(f"Requested {n} devices, have {len(devices)}")
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dim across the data axis."""
+    return NamedSharding(mesh, P(axis_name))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
+    """Place a host batch with the leading dim sharded over the mesh.
+
+    Station coords/values are identical across batch items in the Fenhe data
+    (SURVEY.md §5), but they are still batch-leading arrays here, so a uniform
+    leading-dim shard is correct for every element."""
+    s = batch_sharding(mesh, axis_name)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    s = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)

@@ -1,0 +1,127 @@
+"""Station-comparison CLI: gauge observations vs satellite daily accumulations.
+
+Port of the reference analysis tool (``/root/reference/src/scripts/
+compare_station.py:33-250``): pivots the per-cell satellite CSV to (time) x
+(lat, lon), finds the nearest grid cell per station, computes MAE/RMSE/correlation/
+overlap per station for each accumulation system, writes per-station timeseries
+plots and a summary CSV.
+
+Usage: python -m pl_convlstm_gan_tpu.tools.compare_station \
+           --sat-csv hydro=fenhe_hydro_2012.csv --sat-csv cma=fenhe_cma_2012.csv \
+           --meta meta.csv --rain rain.csv --start-year 2012 --end-year 2012 \
+           --out-dir output/station_compare
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Dict
+
+import numpy as np
+
+
+def load_satellite_csv(path: str):
+    """CSV from tools.cmorph: index=time, columns '{lat:.3f}_{lon:.3f}'
+    -> (times, lats, lons, values[time, cell]) (reference :33-51)."""
+    import pandas as pd
+    df = pd.read_csv(path, index_col=0, parse_dates=True)
+    coords = np.array([[float(p) for p in c.split("_")] for c in df.columns])
+    return df.index, coords[:, 0], coords[:, 1], df.to_numpy(dtype=np.float32)
+
+
+def nearest_cell(lats: np.ndarray, lons: np.ndarray, lat: float,
+                 lon: float) -> int:
+    """Nearest grid cell by squared degree distance (reference :54-63)."""
+    return int(np.argmin((lats - lat) ** 2 + (lons - lon) ** 2))
+
+
+def compute_metrics(obs: np.ndarray, sat: np.ndarray) -> Dict[str, float]:
+    """MAE / RMSE / correlation / overlap count on jointly-valid days
+    (reference :66-76)."""
+    valid = ~np.isnan(obs) & ~np.isnan(sat)
+    n = int(valid.sum())
+    if n == 0:
+        return {"mae": np.nan, "rmse": np.nan, "corr": np.nan, "overlap": 0}
+    o, s = obs[valid], sat[valid]
+    mae = float(np.mean(np.abs(o - s)))
+    rmse = float(np.sqrt(np.mean((o - s) ** 2)))
+    corr = float(np.corrcoef(o, s)[0, 1]) if n > 1 else np.nan
+    return {"mae": mae, "rmse": rmse, "corr": corr, "overlap": n}
+
+
+def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
+                    start_year: int, end_year: int, out_dir: str,
+                    make_plots: bool = True):
+    """Per-station metrics for each accumulation system + summary CSV
+    (reference :120-250)."""
+    import pandas as pd
+    from .station import read_station_meta, read_rain
+
+    os.makedirs(out_dir, exist_ok=True)
+    meta = read_station_meta(meta_path)
+    systems = {name: load_satellite_csv(path) for name, path in sat_csvs.items()}
+
+    rows = []
+    for st_id, (lon, lat) in meta.items():
+        try:
+            obs = read_rain(rain_path, st_id, start_year, end_year)
+        except KeyError:
+            continue
+        row = {"station": st_id, "lon": lon, "lat": lat}
+        series_for_plot = {}
+        for name, (times, lats, lons, vals) in systems.items():
+            cell = nearest_cell(lats, lons, lat, lon)
+            sat = vals[:, cell]
+            ncmp = min(len(obs), len(sat))
+            m = compute_metrics(obs[:ncmp], sat[:ncmp])
+            row.update({f"{name}_{k}": v for k, v in m.items()})
+            series_for_plot[name] = sat[:ncmp]
+        rows.append(row)
+        if make_plots:
+            _station_plot(st_id, obs, series_for_plot, out_dir)
+
+    summary = pd.DataFrame(rows)
+    out_csv = os.path.join(out_dir, "station_comparison_summary.csv")
+    summary.to_csv(out_csv, index=False)
+    print(f"saved {out_csv} ({len(summary)} stations)")
+    return summary
+
+
+def _station_plot(st_id: int, obs: np.ndarray, systems: Dict[str, np.ndarray],
+                  out_dir: str):
+    """Per-station obs-vs-satellite timeseries (reference :79-96)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    plt.figure(figsize=(14, 4))
+    plt.plot(obs, label="gauge obs", linewidth=1, color="k")
+    for name, sat in systems.items():
+        plt.plot(sat, label=name, linewidth=0.8, alpha=0.8)
+    plt.xlabel("day")
+    plt.ylabel("precipitation (mm/day)")
+    plt.title(f"Station {st_id}")
+    plt.legend()
+    plt.tight_layout()
+    plt.savefig(os.path.join(out_dir, f"station_{st_id}.png"), dpi=120)
+    plt.close()
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--sat-csv", action="append", required=True,
+                   help="name=path, repeatable (one per accumulation system)")
+    p.add_argument("--meta", required=True)
+    p.add_argument("--rain", required=True)
+    p.add_argument("--start-year", type=int, default=2012)
+    p.add_argument("--end-year", type=int, default=2021)
+    p.add_argument("--out-dir", default="output/station_compare")
+    p.add_argument("--no-plots", action="store_true")
+    args = p.parse_args()
+    sat_csvs = dict(kv.split("=", 1) for kv in args.sat_csv)
+    compare_systems(sat_csvs, args.meta, args.rain, args.start_year,
+                    args.end_year, args.out_dir, make_plots=not args.no_plots)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,300 @@
+"""SequenceTrainer — training orchestration for the forecaster and GAN families
+(north-star configs #1-#5): stacked-ConvLSTM rollout models on frame sequences, with
+optional adversarial training, scheduled sampling, bf16 compute, SSIM eval, plateau
+LR scheduling, early stopping, best-checkpoint save/restore, and shard_map data
+parallelism.
+
+Shares all infrastructure with the parity ``Trainer`` (same scheduler/early-stop/
+checkpoint/pipeline components); only the model family, losses, and step functions
+differ. The reference repo has no equivalent (its only model reconstructs aligned
+timesteps); this is the extension family the driver benchmarks."""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config, load_config
+from ..data import (SyntheticSequenceDataset, batch_iterator, prefetch_to_device,
+                    split_dataset_random)
+from ..models import ConvLSTMForecaster, Discriminator
+from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from ..utils.visualization import plot_training_curves
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .early_stopping import EarlyStopping
+from .plateau import ReduceLROnPlateau
+from .steps import (GANTrainState, TrainState, make_forecaster_eval_step,
+                    make_forecaster_train_step, make_gan_train_step, make_optimizer)
+
+
+class SequenceTrainer:
+    def __init__(self, config_name: str = "default",
+                 config: Optional[Config] = None):
+        self.config = config if config is not None else load_config(config_name)
+        self.is_gan = self.config.model.family == "gan"
+
+        self.output_dir = self.config.output.output_dir
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        self.history = {"epoch": [], "total_loss": [], "val_l1": [], "val_ssim": [],
+                        "learning_rate": []}
+        if self.is_gan:
+            self.history.update({"g_loss": [], "d_loss": []})
+        self.best_metric = float("inf")
+        self.best_epoch = -1
+        self.start_epoch = 0
+
+        tc = self.config.training
+        self.early_stopping = EarlyStopping(
+            patience=tc.early_stopping_patience,
+            min_delta=tc.early_stopping_min_delta, mode="min",
+            verbose=True) if tc.use_early_stopping else None
+
+        self.mesh = make_mesh(self.config.mesh.data_axis,
+                              self.config.mesh.axis_name)
+        self.n_devices = self.mesh.devices.size
+        self.data_parallel = self.n_devices > 1
+        if self.data_parallel:
+            print(f"Data parallelism over {self.n_devices} devices")
+
+    # ------------------------------------------------------------------ data
+    def setup_data(self):
+        dc = self.config.data
+        mc = self.config.model
+        full = SyntheticSequenceDataset(
+            num_sequences=dc.synthetic_num_sequences,
+            input_frames=mc.input_frames, output_frames=mc.output_frames,
+            image_size=dc.synthetic_image_size, seed=dc.seed)
+        if self.config.training.use_split:
+            self.train_dataset, self.val_dataset, self.test_dataset = \
+                split_dataset_random(full, seed=dc.seed)
+        else:
+            self.train_dataset, self.val_dataset, self.test_dataset = full, None, None
+        return full
+
+    def _loader(self, dataset, shuffle: bool, epoch: int = 0):
+        bs = self.config.training.batch_size
+        if self.data_parallel and bs % self.n_devices != 0:
+            raise ValueError(f"batch_size {bs} not divisible by {self.n_devices}")
+        it = batch_iterator(dataset, bs, shuffle=shuffle,
+                            seed=self.config.training.seed, drop_last=True,
+                            epoch=epoch)
+        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        return prefetch_to_device(it, size=2, sharding=sharding)
+
+    # ----------------------------------------------------------------- model
+    def setup_model(self, dataset=None):
+        mc = self.config.model
+        tc = self.config.training
+        dtype = jnp.bfloat16 if self.config.precision.compute_dtype == "bfloat16" \
+            else None
+
+        self.model = ConvLSTMForecaster(
+            hidden_dims=tuple(mc.hidden_dims), input_frames=mc.input_frames,
+            output_frames=mc.output_frames, in_channels=mc.in_channels,
+            kernel_size=mc.kernel_size,
+            convlstm_impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
+            dtype=dtype)
+
+        b = tc.batch_size
+        h = self.config.data.synthetic_image_size
+        sample_in = jnp.zeros((b, mc.input_frames, mc.in_channels, h, h))
+        params = self.model.init(jax.random.PRNGKey(tc.seed), sample_in)
+        self.tx = make_optimizer(tc.grad_clip_norm)
+
+        self.scheduler = ReduceLROnPlateau(
+            lr=tc.learning_rate, mode="min", factor=tc.scheduler_factor,
+            patience=tc.scheduler_patience, verbose=True)
+
+        if self.is_gan:
+            self.disc = Discriminator(features=tuple(mc.disc_features), dtype=dtype)
+            sample_tgt = jnp.zeros((b, mc.output_frames, mc.in_channels, h, h))
+            dparams = self.disc.init(jax.random.PRNGKey(tc.seed + 1), sample_tgt)
+            self.disc_tx = make_optimizer(tc.grad_clip_norm)
+            self.disc_lr = tc.disc_learning_rate or tc.learning_rate
+            state = GANTrainState(params, dparams, self.tx.init(params),
+                                  self.disc_tx.init(dparams),
+                                  jnp.zeros((), jnp.int32))
+            if self.data_parallel:
+                from ..parallel.train_parallel import make_dp_gan_train_step
+                self.train_step = make_dp_gan_train_step(
+                    self.model.apply, self.disc.apply, self.tx, self.disc_tx,
+                    self.mesh, tc.lambda_adv, tc.lambda_l1,
+                    self.config.mesh.axis_name)
+            else:
+                self.train_step = make_gan_train_step(
+                    self.model.apply, self.disc.apply, self.tx, self.disc_tx,
+                    tc.lambda_adv, tc.lambda_l1)
+        else:
+            state = TrainState(params, self.tx.init(params),
+                               jnp.zeros((), jnp.int32))
+            if self.data_parallel:
+                from ..parallel.train_parallel import make_dp_forecaster_train_step
+                self.train_step = make_dp_forecaster_train_step(
+                    self.model.apply, self.tx, self.mesh,
+                    self.config.mesh.axis_name)
+            else:
+                self.train_step = make_forecaster_train_step(self.model.apply,
+                                                             self.tx)
+        if self.data_parallel:
+            state = replicate(state, self.mesh)
+        self.state = state
+        self.eval_step = make_forecaster_eval_step(self.model.apply)
+
+        if tc.resume_from:
+            self.restore(tc.resume_from)
+
+    # ------------------------------------------------------------- schedules
+    def teacher_forcing_prob(self, epoch: int) -> float:
+        """Linear scheduled-sampling decay 1 -> 0 over sampling_decay_epochs
+        (north-star config #4)."""
+        tc = self.config.training
+        if not tc.scheduled_sampling:
+            return 0.0
+        return float(np.clip(1.0 - epoch / max(tc.sampling_decay_epochs, 1),
+                             0.0, 1.0))
+
+    # ------------------------------------------------------------------ eval
+    def validate(self) -> Optional[Dict[str, float]]:
+        if self.val_dataset is None or len(self.val_dataset) == 0:
+            return None
+        from ..data.pipeline import eval_batches
+        params = self.state.gen_params if self.is_gan else self.state.params
+        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        l1s, ssims, weights = [], [], []
+        for batch, n_valid in eval_batches(self.val_dataset,
+                                           self.config.training.batch_size):
+            if sharding is not None:
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sharding), batch)
+            m = self.eval_step(params, batch)
+            l1s.append(float(m["l1"]))
+            ssims.append(float(m["ssim"]))
+            weights.append(n_valid)
+        if not l1s:
+            return None
+        w = np.asarray(weights, np.float64)
+        return {"l1": float(np.average(l1s, weights=w)),
+                "ssim": float(np.average(ssims, weights=w))}
+
+    # ----------------------------------------------------------------- train
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        tc = self.config.training
+        tf_prob = jnp.asarray(self.teacher_forcing_prob(epoch), jnp.float32)
+        lr = jnp.asarray(self.scheduler.lr, jnp.float32)
+        rng = jax.random.PRNGKey(tc.seed * 100_003 + epoch)
+        metrics_acc = []
+        for i, batch in enumerate(self._loader(self.train_dataset, shuffle=True,
+                                               epoch=epoch)):
+            rng, step_rng = jax.random.split(rng)
+            if self.is_gan:
+                self.state, m = self.train_step(
+                    self.state, batch, lr, jnp.asarray(self.disc_lr, jnp.float32),
+                    tf_prob, step_rng)
+            else:
+                self.state, m = self.train_step(self.state, batch, lr, tf_prob,
+                                                step_rng)
+            metrics_acc.append(m)
+            if i % self.config.output.log_interval == 0:
+                mf = {k: float(v) for k, v in m.items()}
+                if self.is_gan:
+                    print(f"Epoch {epoch} | G: {mf['g_total']:.4f} "
+                          f"(adv {mf['g_adv']:.4f}, l1 {mf['g_l1']:.4f}) | "
+                          f"D: {mf['d_total']:.4f} | tf_prob {float(tf_prob):.2f}")
+                else:
+                    print(f"Epoch {epoch} | L1: {mf['total']:.4f} | "
+                          f"tf_prob {float(tf_prob):.2f}")
+        stacked = {k: np.asarray([float(m[k]) for m in metrics_acc])
+                   for k in metrics_acc[0]}
+        return {k: float(v.mean()) for k, v in stacked.items()}
+
+    def train(self):
+        self.setup_data()
+        self.setup_model()
+        for epoch in range(self.start_epoch, self.config.training.epochs):
+            avg = self.train_epoch(epoch)
+
+            self.history["epoch"].append(epoch)
+            train_loss = avg["g_total"] if self.is_gan else avg["total"]
+            self.history["total_loss"].append(train_loss)
+            if self.is_gan:
+                self.history["g_loss"].append(avg["g_total"])
+                self.history["d_loss"].append(avg["d_total"])
+            self.history["learning_rate"].append(self.scheduler.lr)
+
+            val = self.validate()
+            if val:
+                self.history["val_l1"].append(val["l1"])
+                self.history["val_ssim"].append(val["ssim"])
+                print(f"Epoch {epoch} | Train: {train_loss:.4f} | "
+                      f"Val L1: {val['l1']:.4f} | Val SSIM: {val['ssim']:.4f}")
+                current = val["l1"]
+            else:
+                print(f"Epoch {epoch} | Train: {train_loss:.4f}")
+                current = train_loss
+            self.scheduler.step(current)
+
+            should_save = False
+            if self.early_stopping is not None:
+                if self.early_stopping(current, epoch):
+                    should_save = True
+            elif current < self.best_metric:
+                should_save = True
+            if should_save:
+                self.best_metric = current
+                self.best_epoch = epoch
+                self.save_best(epoch, current)
+                print(f"New best model saved! Epoch {epoch + 1}, "
+                      f"metric {current:.4f}")
+            if self.early_stopping is not None and self.early_stopping.early_stop:
+                print(f"Early stopping at epoch {epoch + 1}")
+                break
+
+        print(f"\nTraining completed. Best epoch {self.best_epoch + 1}, "
+              f"metric {self.best_metric:.4f}")
+        return self.history
+
+    # ------------------------------------------------------------ checkpoint
+    def _device_state_dict(self):
+        if self.is_gan:
+            return {"gen_params": self.state.gen_params,
+                    "disc_params": self.state.disc_params,
+                    "gen_opt_state": self.state.gen_opt_state,
+                    "disc_opt_state": self.state.disc_opt_state,
+                    "step": self.state.step}
+        return {"params": self.state.params, "opt_state": self.state.opt_state,
+                "step": self.state.step}
+
+    def save_best(self, epoch: int, metric: float):
+        host_state = {"epoch": epoch, "metric": metric, "history": self.history,
+                      "scheduler": self.scheduler.state_dict(),
+                      "early_stopping": (self.early_stopping.state_dict()
+                                         if self.early_stopping else None)}
+        save_checkpoint(os.path.join(self.output_dir, "best_model"),
+                        self._device_state_dict(), host_state)
+
+    def restore(self, path: str):
+        target = self._device_state_dict()
+        device_state, host_state = restore_checkpoint(path, target)
+        if self.is_gan:
+            self.state = GANTrainState(
+                device_state["gen_params"], device_state["disc_params"],
+                device_state["gen_opt_state"], device_state["disc_opt_state"],
+                device_state["step"])
+        else:
+            self.state = TrainState(device_state["params"],
+                                    device_state["opt_state"],
+                                    device_state["step"])
+        if self.data_parallel:
+            self.state = replicate(self.state, self.mesh)
+        self.history = host_state["history"]
+        self.best_metric = host_state["metric"]
+        self.best_epoch = host_state["epoch"]
+        self.start_epoch = host_state["epoch"] + 1
+        self.scheduler.load_state_dict(host_state["scheduler"])
+        if self.early_stopping is not None and host_state.get("early_stopping"):
+            self.early_stopping.load_state_dict(host_state["early_stopping"])
+        print(f"Restored checkpoint from {path} (epoch {host_state['epoch']})")

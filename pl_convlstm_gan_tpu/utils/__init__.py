@@ -1,0 +1,4 @@
+from .visualization import plot_stations_vs_pred, plot_training_curves
+from .profiling import Timer, benchmark_fn
+
+__all__ = ["plot_stations_vs_pred", "plot_training_curves", "Timer", "benchmark_fn"]

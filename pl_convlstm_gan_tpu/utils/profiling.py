@@ -1,0 +1,62 @@
+"""Profiling helpers: wall-clock step timing with proper device synchronization, and
+a ``jax.profiler`` trace wrapper (SURVEY.md §5: the reference has no tracing at all —
+this is the TPU-build equivalent)."""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable, Dict
+
+import jax
+import numpy as np
+
+
+class Timer:
+    """Accumulating wall-clock timer; ``block`` keyword syncs the device first."""
+
+    def __init__(self):
+        self.times = []
+
+    @contextlib.contextmanager
+    def measure(self, block_on=None):
+        start = time.perf_counter()
+        yield
+        if block_on is not None:
+            jax.block_until_ready(block_on)
+        self.times.append(time.perf_counter() - start)
+
+    @property
+    def median(self) -> float:
+        return float(np.median(self.times)) if self.times else float("nan")
+
+    @property
+    def p50(self) -> float:
+        return self.median
+
+
+def benchmark_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10,
+                 **kwargs) -> Dict[str, float]:
+    """Benchmark a device function: compile+warmup, then timed runs.
+
+    Returns {p50, mean, min} seconds per call."""
+    for _ in range(warmup):
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        out = fn(*args, **kwargs)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - start)
+    return {"p50": float(np.median(times)), "mean": float(np.mean(times)),
+            "min": float(np.min(times))}
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    """jax.profiler trace context (view with TensorBoard/Perfetto)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,62 @@
+"""SequenceTrainer smoke tests: forecaster and GAN families end-to-end on tiny
+synthetic sequences (with the 8-device DP path engaged via batch=8)."""
+import os
+
+import numpy as np
+import pytest
+
+from pl_convlstm_gan_tpu.config import Config
+from pl_convlstm_gan_tpu.train import SequenceTrainer
+
+
+def _cfg(tmp_path, family, epochs=2, **training_extra):
+    training = {"batch_size": 8, "epochs": epochs, "learning_rate": 1e-3,
+                "use_split": True, "use_early_stopping": False,
+                "scheduled_sampling": True, "sampling_decay_epochs": 4,
+                **training_extra}
+    return Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 48,
+                 "synthetic_image_size": 16},
+        "model": {"family": family, "hidden_dims": [8], "input_frames": 2,
+                  "output_frames": 3, "disc_features": [8]},
+        "training": training,
+        "output": {"output_dir": str(tmp_path / f"out_{family}"),
+                   "log_interval": 100},
+    })
+
+
+def test_forecaster_trainer_smoke(tmp_path):
+    t = SequenceTrainer(config=_cfg(tmp_path, "forecaster"))
+    history = t.train()
+    assert len(history["epoch"]) == 2
+    assert all(np.isfinite(history["total_loss"]))
+    assert len(history["val_ssim"]) == 2
+    assert os.path.isdir(os.path.join(str(tmp_path / "out_forecaster"),
+                                      "best_model"))
+
+
+def test_gan_trainer_smoke(tmp_path):
+    t = SequenceTrainer(config=_cfg(tmp_path, "gan"))
+    history = t.train()
+    assert len(history["epoch"]) == 2
+    assert all(np.isfinite(history["g_loss"]))
+    assert all(np.isfinite(history["d_loss"]))
+
+
+def test_teacher_forcing_schedule(tmp_path):
+    t = SequenceTrainer(config=_cfg(tmp_path, "forecaster"))
+    assert t.teacher_forcing_prob(0) == 1.0
+    assert t.teacher_forcing_prob(2) == pytest.approx(0.5)
+    assert t.teacher_forcing_prob(100) == 0.0
+
+
+def test_gan_trainer_resume(tmp_path):
+    cfg = _cfg(tmp_path, "gan", epochs=1)
+    SequenceTrainer(config=cfg).train()
+    cfg2 = _cfg(tmp_path, "gan", epochs=2)
+    cfg2.training.resume_from = os.path.join(str(tmp_path / "out_gan"),
+                                             "best_model")
+    t2 = SequenceTrainer(config=cfg2)
+    t2.setup_data()
+    t2.setup_model()
+    assert t2.start_epoch == 1
