@@ -51,6 +51,7 @@ class ModelConfig:
     lu_channels: int = 0           # 0 => resolved from dataset at setup_model time
     kernel_size: int = 3
     convlstm_impl: str = "auto"    # "auto" | "xla" | "pallas"
+    remat: bool = False            # rematerialized scan body (O(1) memory in T)
     # forecaster family
     input_frames: int = 5
     output_frames: int = 20

@@ -62,6 +62,7 @@ class ConvLSTMForecaster(nn.Module):
     in_channels: int = 1
     kernel_size: int = 3
     convlstm_impl: str = "xla"
+    remat: bool = False   # rematerialize the scan body: O(1) activation memory in T
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -100,7 +101,11 @@ class ConvLSTMForecaster(nn.Module):
         states0 = tuple((zeros(f), zeros(f)) for f in self.hidden_dims)
         carry0 = (states0, jnp.zeros((b, h, w, c), cdtype))
 
-        core = nn.scan(_StackedStepCore,
+        # long-sequence scaling (SURVEY.md §5): scan keeps compiled size O(1) in T;
+        # remat additionally drops per-step activations and recomputes them in the
+        # backward pass — memory O(1) in rollout length.
+        body = nn.remat(_StackedStepCore) if self.remat else _StackedStepCore
+        core = nn.scan(body,
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        in_axes=0, out_axes=0)(

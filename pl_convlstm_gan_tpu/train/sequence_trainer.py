@@ -97,7 +97,7 @@ class SequenceTrainer:
             output_frames=mc.output_frames, in_channels=mc.in_channels,
             kernel_size=mc.kernel_size,
             convlstm_impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
-            dtype=dtype)
+            remat=mc.remat, dtype=dtype)
 
         b = tc.batch_size
         h = self.config.data.synthetic_image_size

@@ -1,0 +1,62 @@
+"""Config system tests: yaml round-trip, env fallback, validation, forward
+compatibility (reference semantics: src/config.py:75-132)."""
+import os
+
+import pytest
+
+from pl_convlstm_gan_tpu.config import Config, load_config
+
+
+def test_roundtrip(tmp_path):
+    cfg = Config.from_dict({"model": {"hidden_dims": [8, 16], "T": 7},
+                            "training": {"batch_size": 4}})
+    path = str(tmp_path / "sub" / "cfg.yaml")
+    cfg.to_yaml(path)
+    cfg2 = Config.from_yaml(path)
+    assert cfg2.model.hidden_dims == [8, 16]
+    assert cfg2.model.T == 7
+    assert cfg2.training.batch_size == 4
+    # defaults survive
+    assert cfg2.training.lambda_smooth == 0.1
+
+
+def test_unknown_keys_ignored(tmp_path):
+    """Configs written by future versions must still load."""
+    p = tmp_path / "c.yaml"
+    p.write_text("model:\n  T: 3\n  some_future_key: 42\n")
+    cfg = Config.from_yaml(str(p))
+    assert cfg.model.T == 3
+
+
+def test_validation_errors():
+    cfg = Config.from_dict({})
+    cfg.training.learning_rate = -1
+    with pytest.raises(ValueError, match="Learning rate"):
+        cfg.validate()
+    cfg = Config.from_dict({})
+    cfg.model.T = 0
+    with pytest.raises(ValueError, match="Time window"):
+        cfg.validate()
+    cfg = Config.from_dict({})
+    cfg.model.family = "bogus"
+    with pytest.raises(ValueError, match="family"):
+        cfg.validate()
+
+
+def test_missing_file_raises():
+    with pytest.raises(FileNotFoundError):
+        Config.from_yaml("/nonexistent/x.yaml")
+
+
+def test_load_all_shipped_configs():
+    """Every shipped config must parse and validate."""
+    for name in ("default", "mnist_64", "gan_64", "nowcast_128", "precip_256",
+                 "dp_v5e16"):
+        cfg = load_config(name)
+        cfg.validate()
+
+
+def test_env_fallback(tmp_path, monkeypatch):
+    monkeypatch.setenv("CONFIG_NAME", "gan_64")
+    cfg = load_config("definitely_not_a_config")
+    assert cfg.model.family == "gan"

@@ -135,3 +135,20 @@ def test_discriminator_shapes(rng):
     assert logits.shape[0] == 2 and logits.shape[1] == 5 and logits.shape[2] == 1
     # two stride-2 convs: 64 -> 16 spatial, then -1 from the VALID-ish 4x4 pad-1 head
     assert logits.shape[3] == logits.shape[4] == 15
+
+
+def test_forecaster_remat_matches(rng):
+    """remat=True must be numerically identical (it only changes memory)."""
+    frames = jnp.asarray(rng.standard_normal((1, 3, 1, 8, 8), dtype=np.float32))
+    m1 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4)
+    m2 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4,
+                            remat=True)
+    params = m1.init(jax.random.PRNGKey(0), frames)
+    o1 = m1.apply(params, frames)
+    o2 = m2.apply(params, frames)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+    # gradients flow through the rematerialized scan
+    g = jax.grad(lambda p: jnp.square(m2.apply(p, frames)).mean())(params)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
