@@ -31,6 +31,12 @@ HIDDEN = (64, 64)
 
 def bench_jax(iters: int) -> dict:
     import jax
+    # persistent compilation cache: the first bench run on a machine pays the
+    # (minutes-long, tunnel-bound) XLA compile; subsequent runs start warm.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
     from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
     from pl_convlstm_gan_tpu.train import (TrainState, make_forecaster_train_step,
@@ -51,16 +57,17 @@ def bench_jax(iters: int) -> dict:
     tf = jnp.asarray(0.0)
     key = jax.random.PRNGKey(1)
 
-    # warmup/compile
+    # warmup/compile; float() fetch is the reliable full-pipeline sync through
+    # the axon tunnel (block_until_ready alone under-reports there)
     for _ in range(2):
         state, m = step(state, (inputs, targets), lr, tf, key)
-    jax.block_until_ready(state)
+        _ = float(m["total"])
 
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state, m = step(state, (inputs, targets), lr, tf, key)
-        jax.block_until_ready(m["total"])
+        _ = float(m["total"])
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
     return {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,

@@ -106,7 +106,9 @@ def _vmem_bytes(hgt, wid, cx, ch, k, row_tile, save_z, itemsize=4):
 
 def pallas_step_fits(hgt, wid, cx, ch, k=3) -> bool:
     rt = _pick_row_tile(hgt)
-    return _vmem_bytes(hgt, wid, cx, ch, k, rt, save_z=True) <= _VMEM_BUDGET
+    if _vmem_bytes(hgt, wid, cx, ch, k, rt, save_z=True) <= _VMEM_BUDGET:
+        return True
+    return pallas_tiled_fits(hgt, wid, cx, ch, k)
 
 
 @functools.partial(jax.jit, static_argnames=("save_z",))
@@ -160,17 +162,140 @@ def _run_kernel(kernel_hwio, bias, x, h, c, save_z: bool):
 
 
 # ----------------------------------------------------------------------
+# row-tiled variant with manual halo DMA: handles shapes whose full padded
+# input does not fit VMEM (e.g. 128x128 x 128ch). Grid is (B, H/TILE); x and h
+# stay in HBM (memory_space=ANY) and each grid step DMAs its TILE rows plus
+# one halo row above/below into VMEM scratch; c and the outputs ride normal
+# row-tile BlockSpecs.
+# ----------------------------------------------------------------------
+
+_TILE_H = 16
+
+
+def _tiled_kernel_body(xh_ref, c_tile, w_ref, b_ref, hn_ref, cn_ref, z_ref,
+                       xh_scratch, sem, *, cx: int, ch: int,
+                       tile_h: int, save_z: bool):
+    """xh_ref: [B, H+2, W+2, C_in] pre-padded concat(x, h) living in HBM; each
+    grid step DMAs its (tile_h + 2)-row band (halo included, alignment-friendly:
+    full width, full channels, row offset a tile multiple)."""
+    b_i = pl.program_id(0)
+    t_i = pl.program_id(1)
+    wid = c_tile.shape[1]
+    c_in = cx + ch
+    r0 = t_i * tile_h
+
+    cp = pltpu.make_async_copy(
+        xh_ref.at[b_i, pl.ds(r0, tile_h + 2)], xh_scratch, sem)
+    cp.start()
+    cp.wait()
+
+    acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32), (tile_h * wid, 4 * ch))
+    for tap in range(9):
+        di, dj = tap // 3, tap % 3
+        win = xh_scratch[di:di + tile_h, dj:dj + wid, :]
+        acc = acc + jnp.dot(win.reshape(tile_h * wid, c_in), w_ref[tap],
+                            preferred_element_type=jnp.float32)
+    z = acc.reshape(tile_h, wid, 4 * ch)
+    if save_z:
+        z_ref[0] = z.astype(z_ref.dtype)
+    h_next, c_next = convlstm_gates(z, c_tile.astype(jnp.float32))
+    hn_ref[0] = h_next.astype(hn_ref.dtype)
+    cn_ref[0] = c_next.astype(cn_ref.dtype)
+
+
+def _tiled_vmem_bytes(wid, cx, ch, tile_h, itemsize=4):
+    c_in = cx + ch
+    scratch = (tile_h + 2) * (wid + 2) * c_in * itemsize
+    acc = tile_h * wid * 4 * ch * 4
+    z = tile_h * wid * 4 * ch * itemsize
+    blocks = tile_h * wid * 3 * ch * itemsize  # c in + hn/cn out
+    weights = 9 * c_in * 4 * ch * itemsize
+    return scratch + acc + z + blocks + weights
+
+
+def pallas_tiled_fits(hgt, wid, cx, ch, k=3) -> bool:
+    return (k == 3 and hgt % _TILE_H == 0
+            and _tiled_vmem_bytes(wid, cx, ch, _TILE_H) <= _VMEM_BUDGET)
+
+
+@functools.partial(jax.jit, static_argnames=("save_z",))
+def _run_kernel_tiled(kernel_hwio, bias, x, h, c, save_z: bool):
+    b, hgt, wid, cx = x.shape
+    ch = h.shape[-1]
+    c_in = cx + ch
+    dtype = x.dtype
+    tile_h = _TILE_H
+
+    w9 = kernel_hwio.reshape(9, c_in, 4 * ch)
+    b2 = bias.reshape(1, 4 * ch)
+    # the concat + SAME-pad happen once in XLA (bandwidth-bound, fused); the
+    # kernel then streams DMA-aligned row bands from HBM. The padded width is
+    # rounded up to the 8-sublane tile so DMA slices stay aligned.
+    wpad = -((-(wid + 2)) // 8) * 8
+    xh = jnp.pad(jnp.concatenate([x, h], axis=-1),
+                 ((0, 0), (1, 1), (1, wpad - wid - 1), (0, 0)))
+
+    def kernel_fn(xh_ref, c_ref, w_ref, b_ref, *rest):
+        if save_z:
+            hn_ref, cn_ref, z_ref, xh_scratch, sem = rest
+        else:
+            hn_ref, cn_ref, xh_scratch, sem = rest
+            z_ref = None
+        # c_ref block is (1, tile, wid, ch); present it as (tile, wid, ch)
+        _tiled_kernel_body(xh_ref, c_ref[0], w_ref, b_ref, hn_ref, cn_ref,
+                           z_ref, xh_scratch, sem, cx=cx, ch=ch,
+                           tile_h=tile_h, save_z=save_z)
+
+    row_block = lambda c_: pl.BlockSpec((1, tile_h, wid, c_),
+                                        lambda bi, ti: (bi, ti, 0, 0),
+                                        memory_space=pltpu.VMEM)
+
+    out_shapes = [jax.ShapeDtypeStruct((b, hgt, wid, ch), dtype),
+                  jax.ShapeDtypeStruct((b, hgt, wid, ch), dtype)]
+    out_specs = [row_block(ch), row_block(ch)]
+    if save_z:
+        out_shapes.append(jax.ShapeDtypeStruct((b, hgt, wid, 4 * ch), dtype))
+        out_specs.append(row_block(4 * ch))
+
+    outs = pl.pallas_call(
+        kernel_fn,
+        grid=(b, hgt // tile_h),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),     # xh stays in HBM
+                  row_block(ch),                            # c row tile
+                  pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=[pltpu.VMEM((tile_h + 2, wpad, c_in), dtype),
+                        pltpu.SemaphoreType.DMA(())],
+        interpret=_interpret(),
+    )(xh, c, w9, b2)
+    return outs
+
+
+def _dispatch(kernel_hwio, bias, x, h, c, save_z: bool):
+    """Pick the full-VMEM or row-tiled kernel for the shape."""
+    _, hgt, wid, cx = x.shape
+    ch = h.shape[-1]
+    k = kernel_hwio.shape[0]
+    if _vmem_bytes(hgt, wid, cx, ch, k, _pick_row_tile(hgt),
+                   save_z=save_z) <= _VMEM_BUDGET:
+        return _run_kernel(kernel_hwio, bias, x, h, c, save_z)
+    return _run_kernel_tiled(kernel_hwio, bias, x, h, c, save_z)
+
+
+# ----------------------------------------------------------------------
 # custom VJP: pallas forward, XLA backward
 # ----------------------------------------------------------------------
 
 @jax.custom_vjp
 def convlstm_step_pallas_core(kernel_hwio, bias, x, h, c):
-    hn, cn = _run_kernel(kernel_hwio, bias, x, h, c, save_z=False)
+    hn, cn = _dispatch(kernel_hwio, bias, x, h, c, save_z=False)
     return hn, cn
 
 
 def _fwd(kernel_hwio, bias, x, h, c):
-    hn, cn, z = _run_kernel(kernel_hwio, bias, x, h, c, save_z=True)
+    hn, cn, z = _dispatch(kernel_hwio, bias, x, h, c, save_z=True)
     return (hn, cn), (kernel_hwio, x, h, c, z, cn)
 
 

@@ -180,6 +180,27 @@ class SequenceTrainer:
         return {"l1": float(np.average(l1s, weights=w)),
                 "ssim": float(np.average(ssims, weights=w))}
 
+    def evaluate_test(self) -> Optional[Dict[str, float]]:
+        """L1 + SSIM on the held-out test split (free-running rollout)."""
+        if self.test_dataset is None or len(self.test_dataset) == 0:
+            return None
+        from ..data.pipeline import eval_batches
+        params = self.state.gen_params if self.is_gan else self.state.params
+        l1s, ssims, weights = [], [], []
+        for batch, n_valid in eval_batches(self.test_dataset,
+                                           self.config.training.batch_size):
+            if self.data_parallel:
+                s = batch_sharding(self.mesh)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, s), batch)
+            m = self.eval_step(params, batch)
+            l1s.append(float(m["l1"]))
+            ssims.append(float(m["ssim"]))
+            weights.append(n_valid)
+        w = np.asarray(weights, np.float64)
+        return {"l1": float(np.average(l1s, weights=w)),
+                "ssim": float(np.average(ssims, weights=w))}
+
     # ----------------------------------------------------------------- train
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         tc = self.config.training

@@ -235,6 +235,27 @@ class Trainer:
         return {"loss": float(np.average(losses, weights=w)),
                 "rmse": float(np.average(rmses, weights=w))}
 
+    def evaluate_test(self) -> Optional[Dict[str, float]]:
+        """Loss + RMSE on the held-out test split — the inference/eval entry the
+        reference never had (SURVEY.md §0: no torch.load, no eval CLI)."""
+        if self.test_dataset is None or len(self.test_dataset) == 0:
+            return None
+        from ..data.pipeline import eval_batches
+        losses, rmses, weights = [], [], []
+        for batch, n_valid in eval_batches(self.test_dataset,
+                                           self.config.training.batch_size):
+            if self.data_parallel:
+                s = batch_sharding(self.mesh)
+                batch = jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, s), batch)
+            m = self.eval_step(self.state.params, batch)
+            losses.append(float(m["total"]))
+            rmses.append(float(m["rmse"]))
+            weights.append(n_valid)
+        w = np.asarray(weights, np.float64)
+        return {"loss": float(np.average(losses, weights=w)),
+                "rmse": float(np.average(rmses, weights=w))}
+
     # ----------------------------------------------------------------- train
     def train_epoch(self, epoch: int):
         """One epoch over the train loader (reference trainer.py:274-339)."""
