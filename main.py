@@ -24,16 +24,34 @@ def main():
     parser = argparse.ArgumentParser(description="pl-convlstm-gan-tpu training")
     parser.add_argument("--config", type=str, default="default",
                         help="Configuration name (configs/<name>.yaml)")
+    parser.add_argument("--mode", choices=("train", "eval"), default="train",
+                        help="train, or eval: restore a checkpoint and report "
+                             "test-split metrics (an entry the reference lacks)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint dir for --mode eval "
+                             "(default: <output_dir>/best_model)")
     args = parser.parse_args()
 
     config = load_config(args.config)
     config.validate()
+    config.apply_debug_flags()
 
     if config.model.family in ("forecaster", "gan"):
         trainer = SequenceTrainer(config=config)
     else:
         trainer = Trainer(config=config)
-    trainer.train()
+
+    if args.mode == "eval":
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        ds = trainer.setup_data()
+        trainer.setup_model(ds) if not isinstance(trainer, SequenceTrainer) \
+            else trainer.setup_model()
+        trainer.restore(ckpt)
+        metrics = trainer.evaluate_test()
+        print(f"Test metrics: {metrics}")
+    else:
+        trainer.train()
 
 
 if __name__ == "__main__":

@@ -119,6 +119,14 @@ class PrecisionConfig:
     param_dtype: str = "float32"
 
 
+@dataclass
+class DebugConfig:
+    """Debug modes (TPU-build equivalent of sanitizers, SURVEY.md §5): NaN
+    tracing and jit-disable for step-through debugging."""
+    nans: bool = False           # jax.config jax_debug_nans
+    disable_jit: bool = False    # run ops eagerly for debugging
+
+
 def _filtered(cls, d: Dict[str, Any]) -> Dict[str, Any]:
     """Keep only keys the dataclass knows, so configs stay forward-compatible."""
     names = {f.name for f in fields(cls)}
@@ -134,6 +142,7 @@ class Config:
     output: OutputConfig = field(default_factory=OutputConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     precision: PrecisionConfig = field(default_factory=PrecisionConfig)
+    debug: DebugConfig = field(default_factory=DebugConfig)
 
     @classmethod
     def from_dict(cls, config_dict: Dict[str, Any]) -> "Config":
@@ -144,7 +153,16 @@ class Config:
             output=OutputConfig(**_filtered(OutputConfig, config_dict.get("output", {}))),
             mesh=MeshConfig(**_filtered(MeshConfig, config_dict.get("mesh", {}))),
             precision=PrecisionConfig(**_filtered(PrecisionConfig, config_dict.get("precision", {}))),
+            debug=DebugConfig(**_filtered(DebugConfig, config_dict.get("debug", {}))),
         )
+
+    def apply_debug_flags(self) -> None:
+        """Activate debug modes (call once before building the trainer)."""
+        import jax
+        if self.debug.nans:
+            jax.config.update("jax_debug_nans", True)
+        if self.debug.disable_jit:
+            jax.config.update("jax_disable_jit", True)
 
     @classmethod
     def from_yaml(cls, yaml_path: str) -> "Config":

@@ -274,6 +274,19 @@ class SequenceTrainer:
                 print(f"Early stopping at epoch {epoch + 1}")
                 break
 
+        val = self.history.get("val_l1", [])
+        rmse_series = val if len(val) == len(self.history["epoch"]) \
+            else self.history["total_loss"]
+        plot_training_curves(
+            {"epoch": self.history["epoch"],
+             "total_loss": self.history["total_loss"],
+             "rmse": rmse_series,
+             "learning_rate": self.history["learning_rate"]},
+            save_path=os.path.join(self.output_dir, "final_training_curves.png"),
+            dpi=self.config.output.plot_dpi)
+        import json
+        with open(os.path.join(self.output_dir, "history.json"), "w") as f:
+            json.dump(self.history, f)
         print(f"\nTraining completed. Best epoch {self.best_epoch + 1}, "
               f"metric {self.best_metric:.4f}")
         return self.history

@@ -345,6 +345,9 @@ class Trainer:
             save_path=os.path.join(self.output_dir, "final_training_curves.png"),
             dpi=self.config.output.plot_dpi)
         self._final_station_plot()
+        import json
+        with open(os.path.join(self.output_dir, "history.json"), "w") as f:
+            json.dump(self.history, f)
 
         print("\nTraining completed!")
         print(f"Best model: Epoch {self.best_epoch + 1}, RMSE: {self.best_rmse:.4f}")

@@ -31,8 +31,9 @@ def test_forecaster_trainer_smoke(tmp_path):
     assert len(history["epoch"]) == 2
     assert all(np.isfinite(history["total_loss"]))
     assert len(history["val_ssim"]) == 2
-    assert os.path.isdir(os.path.join(str(tmp_path / "out_forecaster"),
-                                      "best_model"))
+    out = str(tmp_path / "out_forecaster")
+    assert os.path.isdir(os.path.join(out, "best_model"))
+    assert os.path.exists(os.path.join(out, "history.json"))
 
 
 def test_gan_trainer_smoke(tmp_path):

@@ -145,6 +145,7 @@ def test_trainer_end_to_end_smoke(tmp_path):
     out = str(tmp_path / "out")
     assert os.path.isdir(os.path.join(out, "best_model"))
     assert os.path.exists(os.path.join(out, "final_training_curves.png"))
+    assert os.path.exists(os.path.join(out, "history.json"))
 
 
 def test_trainer_resume(tmp_path):
