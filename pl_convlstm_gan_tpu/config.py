@@ -91,6 +91,8 @@ class TrainingConfig:
     # scheduled sampling (north-star config #4)
     scheduled_sampling: bool = False
     sampling_decay_epochs: int = 50              # teacher-forcing prob 1 -> 0 over this many epochs
+    # categorical nowcasting skill scores (POD/FAR/CSI/HSS) at these thresholds
+    eval_thresholds: Optional[List[float]] = None
     # resume
     resume_from: Optional[str] = None
 

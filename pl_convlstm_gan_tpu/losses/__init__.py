@@ -4,6 +4,7 @@ from .combined import (CombinedLoss, combined_loss, point_supervision_loss,
 from .adversarial import (bce_with_logits, discriminator_loss, generator_adversarial_loss,
                           gan_generator_loss, l1_loss, l2_loss)
 from .ssim import ssim
+from .metrics import categorical_scores, contingency_counts, nowcast_scores
 
 __all__ = [
     "CombinedLoss", "combined_loss", "point_supervision_loss", "conservation_loss",
@@ -11,4 +12,5 @@ __all__ = [
     "station_rmse", "prepare_station_batch",
     "bce_with_logits", "discriminator_loss", "generator_adversarial_loss",
     "gan_generator_loss", "l1_loss", "l2_loss", "ssim",
+    "categorical_scores", "contingency_counts", "nowcast_scores",
 ]

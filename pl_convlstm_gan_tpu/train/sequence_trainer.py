@@ -142,7 +142,8 @@ class SequenceTrainer:
         if self.data_parallel:
             state = replicate(state, self.mesh)
         self.state = state
-        self.eval_step = make_forecaster_eval_step(self.model.apply)
+        thresholds = tuple(tc.eval_thresholds) if tc.eval_thresholds else None
+        self.eval_step = make_forecaster_eval_step(self.model.apply, thresholds)
 
         if tc.resume_from:
             self.restore(tc.resume_from)
@@ -181,12 +182,14 @@ class SequenceTrainer:
                 "ssim": float(np.average(ssims, weights=w))}
 
     def evaluate_test(self) -> Optional[Dict[str, float]]:
-        """L1 + SSIM on the held-out test split (free-running rollout)."""
+        """All eval metrics (L1, SSIM, optional POD/FAR/CSI/HSS@threshold) on the
+        held-out test split (free-running rollout)."""
         if self.test_dataset is None or len(self.test_dataset) == 0:
             return None
         from ..data.pipeline import eval_batches
         params = self.state.gen_params if self.is_gan else self.state.params
-        l1s, ssims, weights = [], [], []
+        acc: Dict[str, list] = {}
+        weights = []
         for batch, n_valid in eval_batches(self.test_dataset,
                                            self.config.training.batch_size):
             if self.data_parallel:
@@ -194,12 +197,11 @@ class SequenceTrainer:
                 batch = jax.tree_util.tree_map(
                     lambda x: jax.device_put(x, s), batch)
             m = self.eval_step(params, batch)
-            l1s.append(float(m["l1"]))
-            ssims.append(float(m["ssim"]))
+            for k, v in m.items():
+                acc.setdefault(k, []).append(float(v))
             weights.append(n_valid)
         w = np.asarray(weights, np.float64)
-        return {"l1": float(np.average(l1s, weights=w)),
-                "ssim": float(np.average(ssims, weights=w))}
+        return {k: float(np.average(v, weights=w)) for k, v in acc.items()}
 
     # ----------------------------------------------------------------- train
     def train_epoch(self, epoch: int) -> Dict[str, float]:

@@ -162,13 +162,20 @@ def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformat
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_forecaster_eval_step(apply_fn: Callable) -> Callable:
-    """eval(params, batch) -> {l1, ssim} on free-running rollout."""
+def make_forecaster_eval_step(apply_fn: Callable,
+                              score_thresholds: Optional[Tuple[float, ...]] = None
+                              ) -> Callable:
+    """eval(params, batch) -> {l1, ssim, [pod/far/csi/hss@th]} on free-running
+    rollout. `score_thresholds` adds categorical nowcasting skill scores."""
+    from ..losses.metrics import nowcast_scores
 
     def evaluate(params, batch):
         inputs, targets = batch
         pred = apply_fn(params, inputs)
-        return {"l1": l1_loss(pred, targets), "ssim": ssim(pred, targets)}
+        out = {"l1": l1_loss(pred, targets), "ssim": ssim(pred, targets)}
+        if score_thresholds:
+            out.update(nowcast_scores(pred, targets, score_thresholds))
+        return out
 
     return jax.jit(evaluate)
 

@@ -187,3 +187,21 @@ def test_ssim_identity_and_range(rng):
     # more similar pair scores higher
     close = x + 0.01 * y
     assert float(ssim(jnp.asarray(x), jnp.asarray(close))) > val
+
+
+def test_nowcast_categorical_scores():
+    from pl_convlstm_gan_tpu.losses import categorical_scores, nowcast_scores
+    pred = jnp.asarray([[1.0, 0.0], [1.0, 1.0]])
+    tgt = jnp.asarray([[1.0, 1.0], [0.0, 1.0]])
+    # threshold 0.5: hits=2 (0,0),(1,1); miss=1 (0,1); fa=1 (1,0); cn=0
+    s = categorical_scores(pred, tgt, 0.5)
+    assert float(s["pod"]) == pytest.approx(2 / 3)
+    assert float(s["far"]) == pytest.approx(1 / 3)
+    assert float(s["csi"]) == pytest.approx(0.5)
+    # perfect forecast
+    sp = categorical_scores(tgt, tgt, 0.5)
+    assert float(sp["pod"]) == 1.0 and float(sp["far"]) == 0.0
+    assert float(sp["csi"]) == 1.0 and float(sp["hss"]) == pytest.approx(1.0)
+    flat = nowcast_scores(pred, tgt, thresholds=(0.5, 2.0))
+    assert set(k.split("@")[0] for k in flat) == {"pod", "far", "csi", "hss"}
+    assert len(flat) == 8

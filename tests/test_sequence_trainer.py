@@ -61,3 +61,14 @@ def test_gan_trainer_resume(tmp_path):
     t2.setup_data()
     t2.setup_model()
     assert t2.start_epoch == 1
+
+
+def test_evaluate_test_with_skill_scores(tmp_path):
+    cfg = _cfg(tmp_path, "forecaster", epochs=1,
+               eval_thresholds=[0.3, 0.6])
+    t = SequenceTrainer(config=cfg)
+    t.train()
+    metrics = t.evaluate_test()
+    assert "l1" in metrics and "ssim" in metrics
+    assert "csi@0.3" in metrics and "pod@0.6" in metrics
+    assert 0.0 <= metrics["csi@0.3"] <= 1.0
