@@ -272,6 +272,17 @@ class SequenceTrainer:
                 self.save_best(epoch, current)
                 print(f"New best model saved! Epoch {epoch + 1}, "
                       f"metric {current:.4f}")
+            interval = self.config.output.save_model_interval
+            if interval and (epoch + 1) % interval == 0:
+                save_checkpoint(os.path.join(self.output_dir, "latest"),
+                                self._device_state_dict(),
+                                {"epoch": epoch, "metric": current,
+                                 "history": self.history,
+                                 "scheduler": self.scheduler.state_dict(),
+                                 "early_stopping": (
+                                     self.early_stopping.state_dict()
+                                     if self.early_stopping else None)})
+
             if self.early_stopping is not None and self.early_stopping.early_stop:
                 print(f"Early stopping at epoch {epoch + 1}")
                 break

@@ -335,6 +335,12 @@ class Trainer:
                 print(f"New best model saved! Epoch {epoch + 1}, "
                       f"RMSE: {current_rmse:.4f}")
 
+            # periodic latest-checkpoint for crash recovery (the reference's
+            # save_model_interval key exists but is dead code — SURVEY.md §5)
+            interval = self.config.output.save_model_interval
+            if interval and (epoch + 1) % interval == 0:
+                self.save_latest(epoch, current_rmse)
+
             if self.early_stopping is not None and self.early_stopping.early_stop:
                 print(f"Early stopping at epoch {epoch + 1}; best epoch "
                       f"{self.best_epoch + 1}, RMSE {self.best_rmse:.4f}")
@@ -381,19 +387,27 @@ class Trainer:
             print(f"Station plot skipped: {e}")
 
     # ------------------------------------------------------------ checkpoint
-    def save_best(self, epoch: int, rmse: float):
-        """Best-checkpoint bundle (reference trainer.py:402-418) + host state."""
-        host_state = {
+    def _host_state(self, epoch: int, rmse: float) -> Dict:
+        return {
             "epoch": epoch, "rmse": rmse, "history": self.history,
             "scheduler": self.scheduler.state_dict(),
             "early_stopping": (self.early_stopping.state_dict()
                                if self.early_stopping else None),
         }
+
+    def _device_state(self):
+        return {"params": self.state.params, "opt_state": self.state.opt_state,
+                "step": self.state.step}
+
+    def save_best(self, epoch: int, rmse: float):
+        """Best-checkpoint bundle (reference trainer.py:402-418) + host state."""
         save_checkpoint(os.path.join(self.output_dir, "best_model"),
-                        {"params": self.state.params,
-                         "opt_state": self.state.opt_state,
-                         "step": self.state.step},
-                        host_state)
+                        self._device_state(), self._host_state(epoch, rmse))
+
+    def save_latest(self, epoch: int, rmse: float):
+        """Rolling latest-checkpoint for restart-based failure recovery."""
+        save_checkpoint(os.path.join(self.output_dir, "latest"),
+                        self._device_state(), self._host_state(epoch, rmse))
 
     def restore(self, path: str):
         """Resume from a checkpoint — the load path the reference never had

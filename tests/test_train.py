@@ -159,3 +159,10 @@ def test_trainer_resume(tmp_path):
     t2.setup_model(ds)
     assert t2.start_epoch == 1
     assert t2.best_epoch == 0
+
+
+def test_latest_checkpoint_saved(tmp_path):
+    cfg = _tiny_config(tmp_path, epochs=2)
+    cfg.output.save_model_interval = 1
+    Trainer(config=cfg).train()
+    assert os.path.isdir(os.path.join(str(tmp_path / "out"), "latest"))
