@@ -1,9 +1,13 @@
 """Training-curve and station-comparison plots.
 
-Host-side port of the reference utilities (``/root/reference/src/utils/
-visualization.py:6-82``): obs-vs-pred scatter with the ideal diagonal, and the 2x2
-panel (total loss, RMSE, four loss components, log-scale LR), saved at dpi=300."""
+Covers the reference's visualization surface (``/root/reference/src/utils/
+visualization.py:6-82``): an obs-vs-pred scatter with the ideal diagonal, and a 2x2
+convergence panel (total loss, RMSE, loss components, log-scale LR) saved at
+configurable dpi. Re-structured around a declarative panel spec so new histories
+(e.g. GAN g/d losses) reuse the same machinery."""
 from __future__ import annotations
+
+from typing import Dict, List, Sequence
 
 import numpy as np
 
@@ -15,63 +19,72 @@ import matplotlib.pyplot as plt  # noqa: E402
 def plot_stations_vs_pred(s_coords, true_vals, pred_vals,
                           save_path: str = "station_comparison.png",
                           dpi: int = 300) -> None:
-    """Scatter of station observations vs predictions (visualization.py:6-30)."""
+    """Scatter of per-station observed vs predicted precipitation, with the
+    y = x ideal-prediction diagonal."""
     true_vals = np.asarray(true_vals)
     pred_vals = np.asarray(pred_vals)
-    plt.figure(figsize=(10, 6))
-    plt.scatter(true_vals, pred_vals, alpha=0.7)
-    max_val = max(np.max(true_vals), np.max(pred_vals))
-    min_val = min(np.min(true_vals), np.min(pred_vals))
-    plt.plot([min_val, max_val], [min_val, max_val], "r--", label="Ideal Prediction")
-    plt.xlabel("True Values")
-    plt.ylabel("Predicted Values")
-    plt.title("Station Observed vs Predicted Precipitation")
-    plt.legend()
-    plt.grid(True, alpha=0.3)
-    plt.tight_layout()
-    plt.savefig(save_path, dpi=dpi)
-    plt.close()
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.scatter(true_vals, pred_vals, alpha=0.7)
+    lo = min(true_vals.min(), pred_vals.min())
+    hi = max(true_vals.max(), pred_vals.max())
+    ax.plot([lo, hi], [lo, hi], "r--", label="Ideal Prediction")
+    ax.set(xlabel="True Values", ylabel="Predicted Values",
+           title="Station Observed vs Predicted Precipitation")
+    ax.legend()
+    ax.grid(True, alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=dpi)
+    plt.close(fig)
 
 
-def plot_training_curves(history, save_path: str = "training_curves.png",
-                         dpi: int = 300) -> None:
-    """2x2 convergence panel (visualization.py:33-82). Expects the reference
-    history keys: epoch, total_loss, point_loss, conserve_loss, smooth_loss,
-    temporal_loss, rmse, learning_rate."""
-    fig, axes = plt.subplots(2, 2, figsize=(15, 10))
+# (history keys, label) series drawn in the components panel
+_COMPONENT_SERIES = [("point_loss", "Point Loss"), ("conserve_loss", "Conserve Loss"),
+                     ("smooth_loss", "Smooth Loss"), ("temporal_loss", "Temporal Loss"),
+                     ("g_loss", "Generator Loss"), ("d_loss", "Discriminator Loss")]
+
+
+def plot_training_curves(history: Dict[str, Sequence], save_path: str =
+                         "training_curves.png", dpi: int = 300) -> None:
+    """2x2 convergence panel from a history dict (reference keys: epoch,
+    total_loss, rmse, *_loss components, learning_rate)."""
     epochs = history["epoch"]
 
-    axes[0, 0].plot(epochs, history["total_loss"], "b-", linewidth=2)
-    axes[0, 0].set_xlabel("Epoch")
-    axes[0, 0].set_ylabel("Total Loss")
-    axes[0, 0].set_title("Training Loss Convergence")
-    axes[0, 0].grid(True, alpha=0.3)
+    def series(key):
+        vals = history.get(key, [])
+        return vals if len(vals) == len(epochs) else None
 
-    axes[0, 1].plot(epochs, history["rmse"], "r-", linewidth=2)
-    axes[0, 1].set_xlabel("Epoch")
-    axes[0, 1].set_ylabel("RMSE")
-    axes[0, 1].set_title("RMSE Convergence")
-    axes[0, 1].grid(True, alpha=0.3)
+    fig, axes = plt.subplots(2, 2, figsize=(15, 10))
+    panels = [
+        (axes[0, 0], "Training Loss Convergence", "Total Loss",
+         [("total_loss", None, "b-")], None),
+        (axes[0, 1], "RMSE Convergence", "RMSE",
+         [("rmse", None, "r-")], None),
+        (axes[1, 0], "Loss Components", "Loss",
+         [(k, lbl, None) for k, lbl in _COMPONENT_SERIES], None),
+        (axes[1, 1], "Learning Rate Schedule", "Learning Rate",
+         [("learning_rate", None, "g-")], "log"),
+    ]
+    for ax, title, ylabel, lines, yscale in panels:
+        drew_any = False
+        for key, label, style in lines:
+            vals = series(key)
+            if vals is None:
+                continue
+            if style:
+                ax.plot(epochs, vals, style, linewidth=2)
+            else:
+                ax.plot(epochs, vals, label=label, linewidth=1.5)
+            drew_any = True
+        ax.set(xlabel="Epoch", ylabel=ylabel, title=title)
+        if yscale and drew_any:
+            ax.set_yscale(yscale)
+        if any(label for _, label, _ in lines):
+            handles, _ = ax.get_legend_handles_labels()
+            if handles:
+                ax.legend()
+        ax.grid(True, alpha=0.3)
 
-    for key, label in [("point_loss", "Point Loss"), ("conserve_loss", "Conserve Loss"),
-                       ("smooth_loss", "Smooth Loss"), ("temporal_loss", "Temporal Loss")]:
-        if key in history:
-            axes[1, 0].plot(epochs, history[key], label=label, linewidth=1.5)
-    axes[1, 0].set_xlabel("Epoch")
-    axes[1, 0].set_ylabel("Loss")
-    axes[1, 0].set_title("Loss Components")
-    axes[1, 0].legend()
-    axes[1, 0].grid(True, alpha=0.3)
-
-    if "learning_rate" in history:
-        axes[1, 1].plot(epochs, history["learning_rate"], "g-", linewidth=2)
-        axes[1, 1].set_xlabel("Epoch")
-        axes[1, 1].set_ylabel("Learning Rate")
-        axes[1, 1].set_title("Learning Rate Schedule")
-        axes[1, 1].set_yscale("log")
-        axes[1, 1].grid(True, alpha=0.3)
-
-    plt.tight_layout()
-    plt.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     print(f"Training curves saved to {save_path}")

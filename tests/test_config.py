@@ -50,8 +50,8 @@ def test_missing_file_raises():
 
 def test_load_all_shipped_configs():
     """Every shipped config must parse and validate."""
-    for name in ("default", "mnist_64", "gan_64", "nowcast_128", "precip_256",
-                 "dp_v5e16"):
+    for name in ("default", "mnist_64", "gan_64", "nowcast_128",
+                 "nowcast_128_pallas", "precip_256", "dp_v5e16"):
         cfg = load_config(name)
         cfg.validate()
 
