@@ -34,6 +34,8 @@ class DataConfig:
     synthetic_image_size: int = 64
     synthetic_num_stations: int = 16
     seed: int = 0
+    loader: str = "plain"          # "plain" | "grain"
+    worker_count: int = 0          # grain multiprocess workers (0 = in-process)
 
 
 @dataclass

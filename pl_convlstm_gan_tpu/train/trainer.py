@@ -117,14 +117,21 @@ class Trainer:
         return full_dataset
 
     def _loader(self, dataset, shuffle: bool, epoch: int = 0):
-        """Batches prefetched to device (sharded over the mesh under DP)."""
+        """Batches prefetched to device (sharded over the mesh under DP).
+        `data.loader: grain` routes through the grain pipeline."""
         bs = self.config.training.batch_size
         if self.data_parallel and bs % self.n_devices != 0:
             raise ValueError(f"batch_size {bs} not divisible by {self.n_devices} "
                              "devices")
-        it = batch_iterator(dataset, bs, shuffle=shuffle,
-                            seed=self.config.training.seed, drop_last=True,
-                            epoch=epoch)
+        if self.config.data.loader == "grain":
+            from ..data.pipeline import make_grain_loader
+            it = make_grain_loader(dataset, bs, shuffle=shuffle,
+                                   seed=self.config.training.seed + epoch,
+                                   worker_count=self.config.data.worker_count)
+        else:
+            it = batch_iterator(dataset, bs, shuffle=shuffle,
+                                seed=self.config.training.seed, drop_last=True,
+                                epoch=epoch)
         sharding = batch_sharding(self.mesh) if self.data_parallel else None
         return prefetch_to_device(it, size=2, sharding=sharding)
 

@@ -166,3 +166,12 @@ def test_latest_checkpoint_saved(tmp_path):
     cfg.output.save_model_interval = 1
     Trainer(config=cfg).train()
     assert os.path.isdir(os.path.join(str(tmp_path / "out"), "latest"))
+
+
+def test_trainer_grain_loader(tmp_path):
+    cfg = _tiny_config(tmp_path, epochs=1)
+    cfg.data.loader = "grain"
+    trainer = Trainer(config=cfg)
+    history = trainer.train()
+    assert len(history["epoch"]) == 1
+    assert np.isfinite(history["total_loss"][0])
