@@ -70,7 +70,20 @@ def bench_jax(iters: int) -> dict:
         _ = float(m["total"])
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+
+    # inference: p50 latency of a free-running 10-frame rollout
+    infer = jax.jit(lambda p, x: model.apply(p, x))
+    out = infer(state.params, inputs)
+    _ = float(out[0, 0, 0, 0, 0])
+    itimes = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = infer(state.params, inputs)
+        _ = float(out[0, 0, 0, 0, 0])
+        itimes.append(time.perf_counter() - t0)
+
     return {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
+            "p50_rollout_latency_s": float(np.median(itimes)),
             "loss": float(m["total"])}
 
 
@@ -179,6 +192,7 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(jax_res["frames_per_sec"] / torch_fps, 2),
         "p50_step_s": round(jax_res["p50_step_s"], 4),
+        "p50_rollout_latency_s": round(jax_res["p50_rollout_latency_s"], 4),
         "baseline_p50_step_s": round(torch_p50, 4),
         "baseline": "equivalent PyTorch CPU train step (reference execution model)",
     }

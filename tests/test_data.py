@@ -191,3 +191,17 @@ def test_grain_loader():
     batches = list(loader)
     assert len(batches) == 3
     assert batches[0][0].shape == (4, 2, 1, 8, 8)
+
+
+def test_eval_batches_wrap_padding():
+    from pl_convlstm_gan_tpu.data.pipeline import eval_batches
+    ds = SyntheticSequenceDataset(num_sequences=10, input_frames=2,
+                                  output_frames=2, image_size=8)
+    batches = list(eval_batches(ds, 4))
+    assert [n for _, n in batches] == [4, 4, 2]
+    # every batch keeps the full static shape
+    assert all(b[0].shape[0] == 4 for b, _ in batches)
+    # wrap-padded tail: last batch's padding repeats items from the start
+    last, n_valid = batches[-1]
+    inp0, _ = ds[0]
+    np.testing.assert_array_equal(last[0][n_valid], inp0)
