@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import struct
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 

@@ -22,7 +22,7 @@ are per-sample means; see parallel/train_parallel.py for the psum story).
 Tensor layout: `pred`/`lr_input` follow the reference API: [B, T, 1, H, W]."""
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

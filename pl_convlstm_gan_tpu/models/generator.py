@@ -24,7 +24,6 @@ Public tensor API mirrors the reference (NCHW-style [B, T, 1, H, W] in/out); lay
 transposed once at the boundary to NHWC internally."""
 from __future__ import annotations
 
-import math
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn

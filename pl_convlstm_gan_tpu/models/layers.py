@@ -6,7 +6,7 @@ modules over the functional ops in ``pl_convlstm_gan_tpu.ops``. Layout is NHWC; 
 stay in ``param_dtype`` (f32) while compute runs in ``dtype`` (f32 or bf16)."""
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp

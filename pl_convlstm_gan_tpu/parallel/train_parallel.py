@@ -13,13 +13,12 @@ These wrappers reuse the same loss/gate math as the single-device steps in
 train/steps.py; only the reduction story differs."""
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Dict
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..losses.adversarial import discriminator_loss, gan_generator_loss, l1_loss
 from ..losses.combined import combined_loss, station_rmse

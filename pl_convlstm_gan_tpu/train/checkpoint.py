@@ -13,7 +13,6 @@ import os
 import shutil
 from typing import Any, Dict, Optional, Tuple
 
-import jax
 import orbax.checkpoint as ocp
 
 

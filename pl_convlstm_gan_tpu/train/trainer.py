@@ -24,7 +24,6 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
 
 from ..config import Config, load_config
 from ..data import (SyntheticDownscalingDataset, FenheDataset, batch_iterator,

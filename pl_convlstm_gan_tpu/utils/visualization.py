@@ -7,7 +7,7 @@ configurable dpi. Re-structured around a declarative panel spec so new histories
 (e.g. GAN g/d losses) reuse the same machinery."""
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 
