@@ -107,3 +107,32 @@ def test_dp_gan_step_runs():
     # params replicated identically across devices
     leaf = jax.tree_util.tree_leaves(state.gen_params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_tensor_parallel_cell_matches_single_device(rng):
+    """Channel-TP ConvLSTM cell (Megatron-style column parallel) must match the
+    single-device cell exactly on reordered-sharded params."""
+    from pl_convlstm_gan_tpu.ops.convlstm import ConvLSTMParams, convlstm_step_xla
+    from pl_convlstm_gan_tpu.parallel.tensor_parallel import (
+        make_tp_convlstm_step, shard_cell_params)
+    from jax.sharding import Mesh
+    import numpy as onp
+
+    b, hgt, wid, cx, ch = 2, 8, 8, 3, 16
+    x = jnp.asarray(rng.standard_normal((b, hgt, wid, cx), dtype=onp.float32))
+    h = jnp.asarray(rng.standard_normal((b, hgt, wid, ch), dtype=onp.float32))
+    c = jnp.asarray(rng.standard_normal((b, hgt, wid, ch), dtype=onp.float32))
+    kern = jnp.asarray(
+        rng.standard_normal((3, 3, cx + ch, 4 * ch), dtype=onp.float32) * 0.1)
+    bias = jnp.asarray(rng.standard_normal(4 * ch, dtype=onp.float32) * 0.1)
+    params = ConvLSTMParams(kern, bias)
+
+    h_ref, c_ref = convlstm_step_xla(params, x, h, c)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("model",))
+    tp_params = shard_cell_params(params, mesh.devices.size)
+    step = make_tp_convlstm_step(mesh, "model")
+    h_tp, c_tp = step(tp_params, x, h, c)
+
+    np.testing.assert_allclose(np.asarray(h_tp), np.asarray(h_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_ref), atol=1e-5)
