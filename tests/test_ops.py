@@ -114,3 +114,21 @@ def test_convlstm_gates_shapes(rng):
     c = jnp.asarray(rng.standard_normal((2, 4, 4, 4), dtype=np.float32))
     h1, c1 = convlstm_gates(z, c)
     assert h1.shape == c.shape and c1.shape == c.shape
+
+
+@pytest.mark.parametrize("scale", [1.5, 2.5])
+def test_bilinear_scale_factor_matches_torch(rng, scale):
+    """Fractional upscale parity (the generator's non-power-of-2 remainder path,
+    reference generator.py:179-185 uses scale_factor= upsampling)."""
+    x = rng.standard_normal((1, 12, 10, 2), dtype=np.float32)
+    out_h, out_w = int(12 * scale), int(10 * scale)
+    ours = resize_bilinear(jnp.asarray(x), out_h, out_w)
+    theirs = F.interpolate(torch.from_numpy(nchw(x)), scale_factor=scale,
+                           mode="bilinear", align_corners=False)
+    np.testing.assert_allclose(np.asarray(ours), nhwc(theirs.numpy()), atol=3e-5)
+
+
+def test_resize_identity_shortcircuit(rng):
+    x = jnp.asarray(rng.standard_normal((1, 7, 7, 3), dtype=np.float32))
+    for fn in (resize_bilinear, resize_nearest, resize_area):
+        assert fn(x, 7, 7) is x
