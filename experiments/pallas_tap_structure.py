@@ -1,0 +1,60 @@
+"""Experiment: inside-pallas matmul structure for the ConvLSTM conv.
+
+Question: the cell runs at ~14% MXU util; is the 9-tap (K=128) loop the limiter,
+and does a single K=1152 contraction (pallas-side im2col) do better?
+All data starts in VMEM (no DMA) to isolate the MXU/layout behavior."""
+import functools
+import numpy as np, jax, jax.numpy as jnp, time
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp')
+jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+np.asarray(jax.jit(lambda x: x + 9)(jnp.ones((3, 3))))
+
+rng = np.random.default_rng(0)
+dt = jnp.bfloat16
+M, K, N, TAPS, REPS = 2048, 128, 256, 9, 64
+
+
+def taps_kernel(a_ref, w_ref, o_ref):
+    acc = jnp.zeros((M, N), jnp.float32)
+    for r in range(REPS):
+        for t in range(TAPS):
+            acc += jnp.dot(a_ref[t], w_ref[t], preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def big_kernel(a_ref, w_ref, o_ref):
+    acc = jnp.zeros((M, N), jnp.float32)
+    for r in range(REPS):
+        acc += jnp.dot(a_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+a9 = jnp.asarray(rng.random((TAPS, M, K)), dtype=dt)
+w9 = jnp.asarray(rng.random((TAPS, K, N)), dtype=dt)
+abig = jnp.asarray(rng.random((M, TAPS * K)), dtype=dt)
+wbig = jnp.asarray(rng.random((TAPS * K, N)), dtype=dt)
+
+f_taps = jax.jit(lambda a, w: pl.pallas_call(
+    taps_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
+f_big = jax.jit(lambda a, w: pl.pallas_call(
+    big_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
+    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
+
+for name, f, args, flops in [
+        ("9-tap-loop", f_taps, (a9, w9), 2 * M * K * N * TAPS * REPS),
+        ("one-K1152", f_big, (abig, wbig), 2 * M * TAPS * K * N * REPS)]:
+    o = f(*args); np.asarray(o[0, 0])
+    ts = []
+    for _ in range(10):
+        t0 = time.perf_counter(); o = f(*args); np.asarray(o[0, 0])
+        ts.append(time.perf_counter() - t0)
+    per = np.median(ts)
+    print(name, "ms", round(per * 1e3, 3), "TFLOP/s",
+          round(flops / per / 1e12, 1), flush=True)
