@@ -15,21 +15,24 @@ np.asarray(jax.jit(lambda x: x + 9)(jnp.ones((3, 3))))
 
 rng = np.random.default_rng(0)
 dt = jnp.bfloat16
-M, K, N, TAPS, REPS = 2048, 128, 256, 9, 64
+M, K, N, TAPS, REPS = 1024, 128, 256, 9, 64
 
 
 def taps_kernel(a_ref, w_ref, o_ref):
-    acc = jnp.zeros((M, N), jnp.float32)
-    for r in range(REPS):
+    def body(r, acc):
         for t in range(TAPS):
-            acc += jnp.dot(a_ref[t], w_ref[t], preferred_element_type=jnp.float32)
+            acc = acc + jnp.dot(a_ref[t], w_ref[t],
+                                preferred_element_type=jnp.float32)
+        return acc
+    acc = jax.lax.fori_loop(0, REPS, body, jnp.zeros((M, N), jnp.float32))
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
 def big_kernel(a_ref, w_ref, o_ref):
-    acc = jnp.zeros((M, N), jnp.float32)
-    for r in range(REPS):
-        acc += jnp.dot(a_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    def body(r, acc):
+        return acc + jnp.dot(a_ref[...], w_ref[...],
+                             preferred_element_type=jnp.float32)
+    acc = jax.lax.fori_loop(0, REPS, body, jnp.zeros((M, N), jnp.float32))
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
@@ -58,3 +61,13 @@ for name, f, args, flops in [
     per = np.median(ts)
     print(name, "ms", round(per * 1e3, 3), "TFLOP/s",
           round(flops / per / 1e12, 1), flush=True)
+
+# Results (v5e-1, 2026-08-16): both variants ~1 TFLOP/s — NOT representative of
+# the production kernel (which hits ~28 TFLOP/s at the same dot shapes). The
+# fori_loop-over-reps timing harness serializes MXU passes against the live f32
+# accumulator and dominates with per-iteration overhead. Takeaways:
+#  - don't benchmark MXU throughput with an accumulate-in-carry rep loop;
+#  - K=1152 single contraction shows no advantage over the 9-tap loop;
+#  - the cell's ~14% MXU utilization is a property of the small-K (128) conv
+#    shape under both XLA and Pallas; the path to more is wider channels, not
+#    kernel restructuring at these sizes.
