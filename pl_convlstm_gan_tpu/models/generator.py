@@ -35,8 +35,10 @@ from .layers import Conv2dTorch, ConvLSTMCell, GatedCovariateAttention, Upsample
 
 
 class _RecurrentCore(nn.Module):
-    """Scan body: two stacked ConvLSTM cells (reference generator.py:57-58,170-171)."""
-    hidden_dims: Tuple[int, int]
+    """Scan body: N stacked ConvLSTM cells (the reference hardwires two,
+    generator.py:57-58,170-171; param names cell1/cell2/... keep 2-cell
+    checkpoints and the torch parity mapping stable)."""
+    hidden_dims: Tuple[int, ...]
     kernel_size: int
     impl: str
     dtype: Optional[jnp.dtype]
@@ -44,14 +46,16 @@ class _RecurrentCore(nn.Module):
 
     @nn.compact
     def __call__(self, carry, x_t):
-        h1, c1, h2, c2 = carry
-        h1, c1 = ConvLSTMCell(self.hidden_dims[0], self.kernel_size, impl=self.impl,
-                              dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="cell1")(x_t, h1, c1)
-        h2, c2 = ConvLSTMCell(self.hidden_dims[1], self.kernel_size, impl=self.impl,
-                              dtype=self.dtype, param_dtype=self.param_dtype,
-                              name="cell2")(h1, h2, c2)
-        return (h1, c1, h2, c2), h2
+        states = list(carry)
+        x = x_t
+        for li, feat in enumerate(self.hidden_dims):
+            h, c = states[2 * li], states[2 * li + 1]
+            h, c = ConvLSTMCell(feat, self.kernel_size, impl=self.impl,
+                                dtype=self.dtype, param_dtype=self.param_dtype,
+                                name=f"cell{li + 1}")(x, h, c)
+            states[2 * li], states[2 * li + 1] = h, c
+            x = h
+        return tuple(states), x
 
 
 def resolve_scale(h: int, w: int,
@@ -123,22 +127,22 @@ class Generator(nn.Module):
                                  param_dtype=self.param_dtype, name="init_conv")(xm))
         x = xm.reshape(t, b, h, w, hd[0])
 
-        # --- recurrence: lax.scan over time, carry = (h1, c1, h2, c2) at LR ---
+        # --- recurrence: lax.scan over time, carry = per-cell (h, c) at LR ---
         zeros = lambda ch: jnp.zeros((b, h, w, ch), cdtype)
-        carry0 = (zeros(hd[0]), zeros(hd[0]), zeros(hd[1]), zeros(hd[1]))
+        carry0 = tuple(z for f in hd for z in (zeros(f), zeros(f)))
         core = nn.scan(_RecurrentCore,
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        in_axes=0, out_axes=0)(
-            hidden_dims=(hd[0], hd[1]), kernel_size=self.kernel_size,
+            hidden_dims=hd, kernel_size=self.kernel_size,
             impl=self.convlstm_impl, dtype=cdtype, param_dtype=self.param_dtype,
             name="recurrence")
-        _, h2_seq = core(carry0, x)                                # [T, B, H, W, hd1]
+        _, top_seq = core(carry0, x)                           # [T, B, H, W, hd-1]
 
         # --- decode ONCE over merged (T*B): upsample -> attention -> head ---
-        feat = h2_seq.reshape(t * b, h, w, hd[1])
+        feat = top_seq.reshape(t * b, h, w, hd[-1])
         for i in range(n_blocks):
-            feat = UpsampleBlock(hd[1], 2, dtype=cdtype,
+            feat = UpsampleBlock(hd[-1], 2, dtype=cdtype,
                                  param_dtype=self.param_dtype,
                                  name=f"upsample_{i}")(feat)
         if remaining > 1:
@@ -156,10 +160,10 @@ class Generator(nn.Module):
         dem_hr = jnp.tile(dem_hr, (t, 1, 1, 1))
         lu_hr = jnp.tile(lu_hr, (t, 1, 1, 1))
 
-        feat = GatedCovariateAttention(hd[1], dtype=cdtype,
+        feat = GatedCovariateAttention(hd[-1], dtype=cdtype,
                                        param_dtype=self.param_dtype,
                                        name="dem_attn")(feat, dem_hr)
-        feat = GatedCovariateAttention(hd[1], dtype=cdtype,
+        feat = GatedCovariateAttention(hd[-1], dtype=cdtype,
                                        param_dtype=self.param_dtype,
                                        name="lu_attn")(feat, lu_hr)
 

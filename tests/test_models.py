@@ -152,3 +152,13 @@ def test_forecaster_remat_matches(rng):
     g = jax.grad(lambda p: jnp.square(m2.apply(p, frames)).mean())(params)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_generator_three_cells(rng):
+    """Generator generalizes to N stacked cells (reference hardwires 2)."""
+    model = Generator(hidden_dims=(8, 8, 16), lu_channels=2, scale_factor=2)
+    rain, dem, lu = _gen_inputs(rng, b=1, t=2, h=8, w=8, lu_c=2)
+    params = model.init(jax.random.PRNGKey(0), rain, dem, lu)
+    assert "cell3" in params["params"]["recurrence"]
+    out = model.apply(params, rain, dem, lu)
+    assert out.shape == (1, 2, 1, 16, 16)
