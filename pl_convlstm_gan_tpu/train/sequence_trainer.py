@@ -236,6 +236,10 @@ class SequenceTrainer:
                 else:
                     print(f"Epoch {epoch} | L1: {mf['total']:.4f} | "
                           f"tf_prob {float(tf_prob):.2f}")
+        if not metrics_acc:
+            raise ValueError(
+                f"No training batches: dataset has {len(self.train_dataset)} "
+                f"samples < batch_size {self.config.training.batch_size}")
         stacked = {k: np.asarray([float(m[k]) for m in metrics_acc])
                    for k in metrics_acc[0]}
         return {k: float(v.mean()) for k, v in stacked.items()}

@@ -278,6 +278,10 @@ class Trainer:
                       f"Point: {m['point']:.4f} | Conserve: {m['conserve']:.4f} | "
                       f"Smooth: {m['smooth']:.4f} | Temporal: {m['temporal']:.4f} | "
                       f"Batch RMSE: {m['rmse']:.4f}")
+        if not epoch_metrics:
+            raise ValueError(
+                f"No training batches: dataset has {len(self.train_dataset)} "
+                f"samples < batch_size {self.config.training.batch_size}")
         # one host sync at epoch end for the aggregates
         stacked = {k: np.asarray([float(m[k]) for m in epoch_metrics])
                    for k in epoch_metrics[0]}

@@ -1,0 +1,40 @@
+"""CLI surface tests: main.py train + eval modes (reference main.py:11-24 parity
+plus the eval extension), run in-process with patched argv."""
+import os
+import shutil
+import sys
+
+import pytest
+
+
+def _run_main(argv, tmp_out):
+    import main as main_mod
+    # redirect the config's output dir into tmp via env-free monkeypatching:
+    # ci_smoke writes to output/ci_smoke relative to cwd
+    old_argv = sys.argv
+    old_cwd = os.getcwd()
+    try:
+        os.chdir(tmp_out)
+        sys.argv = ["main.py"] + argv
+        main_mod.main()
+    finally:
+        sys.argv = old_argv
+        os.chdir(old_cwd)
+
+
+def test_cli_train_then_eval(tmp_path):
+    _run_main(["--config", "ci_smoke"], str(tmp_path))
+    out = tmp_path / "output" / "ci_smoke"
+    assert (out / "best_model").is_dir()
+    assert (out / "history.json").exists()
+    # eval mode restores the checkpoint and prints test metrics
+    _run_main(["--config", "ci_smoke", "--mode", "eval"], str(tmp_path))
+
+
+def test_unknown_config_falls_back_to_default(monkeypatch):
+    """Reference semantics (src/config.py:122-132): a missing config name falls
+    back to $CONFIG_NAME, then 'default' — it does NOT raise."""
+    monkeypatch.delenv("CONFIG_NAME", raising=False)
+    from pl_convlstm_gan_tpu.config import load_config
+    cfg = load_config("nope_does_not_exist")
+    assert cfg.model.family == "generator"   # default.yaml loaded
