@@ -10,10 +10,11 @@ import os
 import jax
 
 # persistent XLA compilation cache (first run pays the compile, reruns are warm)
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from pl_convlstm_gan_tpu.config import load_config
 from pl_convlstm_gan_tpu.train.trainer import Trainer
