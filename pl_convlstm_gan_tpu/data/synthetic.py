@@ -107,7 +107,7 @@ class SyntheticSequenceDataset:
         rng = np.random.default_rng(self.seed * 1_000_003 + idx)
         total = self.t_in + self.t_out
         margin = max(2.0, self.size / 8.0)
-        speed = max(1.0, self.size / 24.0)
+        speed = max(0.5, self.size / 64.0)  # <= +-3 px/frame at 64px
         pos = rng.uniform(margin, self.size - margin,
                           (self.num_blobs, 2)).astype(np.float32)
         vel = rng.uniform(-3 * speed, 3 * speed,
