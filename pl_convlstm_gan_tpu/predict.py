@@ -1,0 +1,74 @@
+"""Inference helpers: load a trained checkpoint and run predictions.
+
+The reference has NO inference entry point at all (zero ``torch.load`` calls,
+SURVEY.md §0) — this module is the deployment-facing surface: build the model from a
+config, restore the best checkpoint, and expose a jitted predict function.
+
+Usage:
+    from pl_convlstm_gan_tpu.predict import load_predictor
+    predict = load_predictor(config, "output/best_model")
+    hr = predict(rain_lr, dem, lu)            # generator family
+    future = predict(past_frames)             # forecaster / gan families
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .models import ConvLSTMForecaster, Generator
+from .train.checkpoint import restore_checkpoint
+
+
+def build_model(config: Config, lu_channels: int = 0):
+    """Construct the (uninitialized) flax module described by a config."""
+    mc = config.model
+    dtype = jnp.bfloat16 if config.precision.compute_dtype == "bfloat16" else None
+    impl = "xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl
+    if mc.family in ("forecaster", "gan"):
+        return ConvLSTMForecaster(
+            hidden_dims=tuple(mc.hidden_dims), input_frames=mc.input_frames,
+            output_frames=mc.output_frames, in_channels=mc.in_channels,
+            kernel_size=mc.kernel_size, convlstm_impl=impl, remat=mc.remat,
+            dtype=dtype)
+    kwargs = dict(in_channels=mc.in_channels, dem_channels=mc.dem_channels,
+                  hidden_dims=tuple(mc.hidden_dims),
+                  lu_channels=lu_channels or mc.lu_channels,
+                  kernel_size=mc.kernel_size, convlstm_impl=impl, dtype=dtype)
+    if mc.target_grid_size:
+        kwargs["target_grid_size"] = tuple(mc.target_grid_size)
+    elif mc.scale_factor:
+        kwargs["scale_factor"] = mc.scale_factor
+    return Generator(**kwargs)
+
+
+def load_predictor(config: Config, checkpoint_path: str,
+                   lu_channels: int = 0) -> Callable:
+    """Restore params from `checkpoint_path` and return a jitted predict fn.
+
+    Generator family: predict(rain_lr [B,T,1,H,W], dem, lu) -> [B,T,1,H',W'].
+    Forecaster/GAN:   predict(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W]."""
+    model = build_model(config, lu_channels)
+    device_state, _ = restore_checkpoint(checkpoint_path)
+    params = device_state.get("params", device_state.get("gen_params"))
+    if params is None:
+        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
+
+    if config.model.family in ("forecaster", "gan"):
+        @jax.jit
+        def predict(frames):
+            return model.apply(params, frames)
+    else:
+        input_grid_size = (tuple(config.model.input_grid_size)
+                           if config.model.input_grid_size else None)
+
+        @jax.jit
+        def predict(rain_lr, dem, lu):
+            kwargs = {}
+            if input_grid_size is not None:
+                kwargs["input_grid_size"] = input_grid_size
+            return model.apply(params, rain_lr, dem, lu, **kwargs)
+
+    return predict

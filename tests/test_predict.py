@@ -1,0 +1,55 @@
+"""Inference API: load_predictor restores a checkpoint and reproduces the
+trainer's model outputs (the deployment path the reference never had)."""
+import numpy as np
+import jax.numpy as jnp
+
+from pl_convlstm_gan_tpu.config import Config
+from pl_convlstm_gan_tpu.predict import build_model, load_predictor
+from pl_convlstm_gan_tpu.train import SequenceTrainer, Trainer
+
+
+def test_predictor_forecaster_roundtrip(tmp_path, rng):
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 48,
+                 "synthetic_image_size": 8},
+        "model": {"family": "forecaster", "hidden_dims": [8],
+                  "input_frames": 2, "output_frames": 3},
+        "training": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                     "use_split": True, "use_early_stopping": False},
+        "output": {"output_dir": str(tmp_path / "out"), "log_interval": 100},
+    })
+    t = SequenceTrainer(config=cfg)
+    t.train()
+
+    predict = load_predictor(cfg, str(tmp_path / "out" / "best_model"))
+    frames = jnp.asarray(rng.random((2, 2, 1, 8, 8)).astype(np.float32))
+    out = predict(frames)
+    assert out.shape == (2, 3, 1, 8, 8)
+    # must equal applying the trainer's current (best=final here) params
+    expect = t.model.apply(t.state.params, frames)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
+
+
+def test_predictor_generator(tmp_path, rng):
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 48,
+                 "synthetic_image_size": 8, "synthetic_num_stations": 4},
+        "model": {"family": "generator", "hidden_dims": [8, 8], "T": 3,
+                  "scale_factor": 2},
+        "training": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                     "use_split": True, "split_method": "random",
+                     "use_early_stopping": False},
+        "output": {"output_dir": str(tmp_path / "outg"), "log_interval": 100},
+    })
+    t = Trainer(config=cfg)
+    t.train()
+    ds = t.train_dataset
+    lu_c = ds.dataset.num_lu_classes if hasattr(ds, "dataset") else ds.num_lu_classes
+    predict = load_predictor(cfg, str(tmp_path / "outg" / "best_model"),
+                             lu_channels=lu_c)
+    rain = jnp.asarray(rng.random((1, 3, 1, 8, 8)).astype(np.float32))
+    dem = jnp.asarray(rng.random((1, 1, 16, 16)).astype(np.float32))
+    lu = jnp.asarray(rng.random((1, lu_c, 16, 16)).astype(np.float32))
+    out = predict(rain, dem, lu)
+    assert out.shape == (1, 3, 1, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
