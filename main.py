@@ -37,6 +37,10 @@ def main():
     config.validate()
     config.apply_debug_flags()
 
+    # multi-host bootstrap (no-op on single-host; SURVEY.md §2.2)
+    from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+
     if config.model.family in ("forecaster", "gan"):
         trainer = SequenceTrainer(config=config)
     else:
