@@ -80,3 +80,37 @@ def test_compare_systems_end_to_end(tmp_path):
     assert len(summary) == 2
     assert "hydro_rmse" in summary.columns
     assert (tmp_path / "cmp" / "station_comparison_summary.csv").exists()
+
+
+def test_torch_checkpoint_roundtrip(tmp_path):
+    """our params -> reference-style state_dict -> back == identity; and the
+    converted params drive the model identically."""
+    import jax
+    import jax.numpy as jnp
+    from pl_convlstm_gan_tpu.models import Generator
+    from pl_convlstm_gan_tpu.tools.import_torch_checkpoint import (
+        convert_state_dict, export_state_dict)
+
+    rng = np.random.default_rng(0)
+    model = Generator(hidden_dims=(16, 32), lu_channels=3, scale_factor=4)
+    rain = jnp.asarray(rng.random((1, 2, 1, 8, 8)).astype(np.float32))
+    dem = jnp.asarray(rng.random((1, 1, 8, 8)).astype(np.float32))
+    lu = jnp.asarray(rng.random((1, 3, 8, 8)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), rain, dem, lu)
+
+    sd = export_state_dict(jax.tree_util.tree_map(np.asarray, params))
+    # reference-style names present
+    assert "cell1.conv.weight" in sd and "upsample_blocks.1.conv.bias" in sd
+    assert sd["init_conv.weight"].shape[:2] == (16, 3)   # OIHW
+
+    back = convert_state_dict(sd)
+    key = lambda kv: str(kv[0])
+    a_leaves = sorted(jax.tree_util.tree_leaves_with_path(params), key=key)
+    b_leaves = sorted(jax.tree_util.tree_leaves_with_path(back), key=key)
+    assert [str(k) for k, _ in a_leaves] == [str(k) for k, _ in b_leaves]
+    for (_, a), (_, b) in zip(a_leaves, b_leaves):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    out_a = model.apply(params, rain, dem, lu)
+    out_b = model.apply(back, rain, dem, lu)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
