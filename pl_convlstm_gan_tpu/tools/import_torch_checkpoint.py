@@ -102,13 +102,9 @@ def main():
     ap.add_argument("--out", required=True, help="output orbax checkpoint dir")
     args = ap.parse_args()
 
-    import jax.numpy as jnp
     from ..train.checkpoint import save_checkpoint
 
     params = convert_state_dict(load_pth(args.pth))
-    params = {"params": {k: v for k, v in params["params"].items()}}
-    device_params = jnp.asarray(0)  # placeholder to force jax init
-    del device_params
     save_checkpoint(args.out, {"params": params},
                     {"source": args.pth, "format": "imported-torch"})
     print(f"converted {args.pth} -> {args.out}")
