@@ -90,6 +90,7 @@ class TrainingConfig:
     disc_learning_rate: Optional[float] = None   # default: learning_rate
     lambda_adv: float = 0.001
     lambda_l1: float = 1.0
+    label_smoothing: float = 0.0                 # one-sided D label smoothing
     # scheduled sampling (north-star config #4)
     scheduled_sampling: bool = False
     sampling_decay_epochs: int = 50              # teacher-forcing prob 1 -> 0 over this many epochs

@@ -27,10 +27,15 @@ def l2_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.square(pred - target).mean()
 
 
-def discriminator_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray
+def discriminator_loss(real_logits: jnp.ndarray, fake_logits: jnp.ndarray,
+                       label_smoothing: float = 0.0
                        ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """D maximizes log D(real) + log(1 - D(fake)): BCE(real, 1) + BCE(fake, 0)."""
-    loss_real = bce_with_logits(real_logits, jnp.ones_like(real_logits))
+    """D maximizes log D(real) + log(1 - D(fake)): BCE(real, 1) + BCE(fake, 0).
+
+    One-sided label smoothing (Salimans et al. 2016): real targets become
+    1 - label_smoothing, fake targets stay 0 — a standard GAN stability knob."""
+    real_target = jnp.full_like(real_logits, 1.0 - label_smoothing)
+    loss_real = bce_with_logits(real_logits, real_target)
     loss_fake = bce_with_logits(fake_logits, jnp.zeros_like(fake_logits))
     total = 0.5 * (loss_real + loss_fake)
     return total, {"d_real": loss_real, "d_fake": loss_fake}

@@ -130,7 +130,8 @@ def make_dp_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                            gen_tx: optax.GradientTransformation,
                            disc_tx: optax.GradientTransformation, mesh: Mesh,
                            lambda_adv: float = 0.001, lambda_l1: float = 1.0,
-                           axis_name: str = "data") -> Callable:
+                           axis_name: str = "data",
+                           label_smoothing: float = 0.0) -> Callable:
     """shard_map DP version of train.steps.make_gan_train_step: alternating D/G
     updates with pmean'd grads for both optimizers in one compiled program
     (north-star config #5: v5e-16 data-parallel GAN training)."""
@@ -145,7 +146,8 @@ def make_dp_gan_train_step(gen_apply: Callable, disc_apply: Callable,
         def d_loss_fn(dp_):
             total, parts = discriminator_loss(
                 disc_apply(dp_, targets),
-                disc_apply(dp_, jax.lax.stop_gradient(fake)))
+                disc_apply(dp_, jax.lax.stop_gradient(fake)),
+                label_smoothing)
             return total, parts
 
         (d_total, d_parts), d_grads = jax.value_and_grad(

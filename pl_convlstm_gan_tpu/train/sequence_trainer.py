@@ -129,11 +129,11 @@ class SequenceTrainer:
                 self.train_step = make_dp_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
                     self.mesh, tc.lambda_adv, tc.lambda_l1,
-                    self.config.mesh.axis_name)
+                    self.config.mesh.axis_name, tc.label_smoothing)
             else:
                 self.train_step = make_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
-                    tc.lambda_adv, tc.lambda_l1)
+                    tc.lambda_adv, tc.lambda_l1, tc.label_smoothing)
         else:
             state = TrainState(params, self.tx.init(params),
                                jnp.zeros((), jnp.int32))

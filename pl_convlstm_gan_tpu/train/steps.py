@@ -187,8 +187,8 @@ def make_forecaster_eval_step(apply_fn: Callable,
 def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                         gen_tx: optax.GradientTransformation,
                         disc_tx: optax.GradientTransformation,
-                        lambda_adv: float = 0.001, lambda_l1: float = 1.0
-                        ) -> Callable:
+                        lambda_adv: float = 0.001, lambda_l1: float = 1.0,
+                        label_smoothing: float = 0.0) -> Callable:
     """step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state, metrics).
 
     batch = (inputs, targets). One compiled program performs: G forward ->
@@ -204,7 +204,8 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
         def d_loss_fn(dp):
             real_logits = disc_apply(dp, targets)
             fake_logits = disc_apply(dp, jax.lax.stop_gradient(fake))
-            total, parts = discriminator_loss(real_logits, fake_logits)
+            total, parts = discriminator_loss(real_logits, fake_logits,
+                                              label_smoothing)
             return total, parts
 
         (d_total, d_parts), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(

@@ -205,3 +205,11 @@ def test_nowcast_categorical_scores():
     flat = nowcast_scores(pred, tgt, thresholds=(0.5, 2.0))
     assert set(k.split("@")[0] for k in flat) == {"pod", "far", "csi", "hss"}
     assert len(flat) == 8
+
+
+def test_discriminator_label_smoothing():
+    logits = jnp.full((2, 4), 3.0)
+    plain, _ = discriminator_loss(logits, -logits)
+    smoothed, _ = discriminator_loss(logits, -logits, label_smoothing=0.1)
+    # smoothing penalizes overconfident real predictions -> higher loss here
+    assert float(smoothed) > float(plain)
