@@ -22,7 +22,8 @@ from ..data import (SyntheticSequenceDataset, batch_iterator, prefetch_to_device
                     split_dataset_random)
 from ..models import ConvLSTMForecaster, Discriminator
 from ..parallel.mesh import batch_sharding, make_mesh, replicate
-from ..utils.visualization import plot_training_curves
+from ..utils.visualization import (plot_sequence_comparison,
+                                   plot_training_curves)
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .early_stopping import EarlyStopping
 from .plateau import ReduceLROnPlateau
@@ -310,9 +311,25 @@ class SequenceTrainer:
         import json
         with open(os.path.join(self.output_dir, "history.json"), "w") as f:
             json.dump(self.history, f)
+        self._final_sequence_plot()
         print(f"\nTraining completed. Best epoch {self.best_epoch + 1}, "
               f"metric {self.best_metric:.4f}")
         return self.history
+
+    def _final_sequence_plot(self):
+        """Frame-grid comparison on one val/train sample (visual sanity)."""
+        try:
+            ds = self.val_dataset or self.train_dataset
+            inputs, targets = ds[0]
+            params = self.state.gen_params if self.is_gan else self.state.params
+            pred = self.model.apply(params, jnp.asarray(inputs[None]))
+            plot_sequence_comparison(
+                inputs, targets, np.asarray(pred)[0],
+                save_path=os.path.join(self.output_dir,
+                                       "final_sequence_comparison.png"),
+                dpi=self.config.output.plot_dpi // 2 or 100)
+        except Exception as e:  # plotting must never kill a finished run
+            print(f"Sequence plot skipped: {e}")
 
     # ------------------------------------------------------------ checkpoint
     def _device_state_dict(self):

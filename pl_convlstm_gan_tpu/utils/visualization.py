@@ -37,6 +37,45 @@ def plot_stations_vs_pred(s_coords, true_vals, pred_vals,
     plt.close(fig)
 
 
+def plot_sequence_comparison(inputs, targets, preds,
+                             save_path: str = "sequence_comparison.png",
+                             dpi: int = 150, max_frames: int = 10) -> None:
+    """Frame-grid comparison for sequence prediction: rows = (context, target,
+    prediction), columns = timesteps. inputs [T_in,H,W], targets/preds [T_out,H,W]
+    (leading channel dims of size 1 are squeezed). No reference equivalent — the
+    forecaster/GAN families' visual sanity check."""
+    def prep(x):
+        x = np.asarray(x)
+        while x.ndim > 3:
+            x = x[:, 0] if x.shape[1] == 1 else x[0]
+        if x.ndim == 3 and x.shape[-3] == 1:
+            x = x[0]
+        return x
+
+    inputs, targets, preds = prep(inputs), prep(targets), prep(preds)
+    t_in = min(len(inputs), max_frames)
+    t_out = min(len(targets), max_frames)
+    cols = max(t_in, t_out)
+    vmax = max(targets.max(), preds.max(), 1e-6)
+
+    fig, axes = plt.subplots(3, cols, figsize=(1.6 * cols, 5.2))
+    if cols == 1:
+        axes = axes[:, None]
+    for r, (row, title) in enumerate([(inputs[:t_in], "context"),
+                                      (targets[:t_out], "target"),
+                                      (preds[:t_out], "prediction")]):
+        for ci in range(cols):
+            ax = axes[r, ci]
+            ax.set_axis_off()
+            if ci < len(row):
+                ax.imshow(row[ci], cmap="viridis", vmin=0.0, vmax=float(vmax))
+                if ci == 0:
+                    ax.set_title(title, loc="left", fontsize=9)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=dpi, bbox_inches="tight")
+    plt.close(fig)
+
+
 # (history keys, label) series drawn in the components panel
 _COMPONENT_SERIES = [("point_loss", "Point Loss"), ("conserve_loss", "Conserve Loss"),
                      ("smooth_loss", "Smooth Loss"), ("temporal_loss", "Temporal Loss"),
