@@ -190,3 +190,61 @@ def test_dataset_items_match_reference(tmp_path, monkeypatch):
         o = [np.asarray(x) for x in ds_ours[idx]]
         for name, a, b in zip(("x_lr", "dem", "lu", "coords", "vals"), r, o):
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f"{name}@{idx}")
+
+
+def test_year_split_indices_match_reference(tmp_path, monkeypatch):
+    """split_dataset_by_year index sets vs the reference implementation
+    (including its drop-T-windows boundary arithmetic)."""
+    import types
+    import pandas as pd
+    from test_data import _fenhe_fixture  # type: ignore
+    from pl_convlstm_gan_tpu.data import split_dataset_by_year
+
+    ds = _fenhe_fixture(tmp_path, num_years=2)
+
+    class _FakeGdf:
+        total_bounds = np.array([110.0, 35.0, 113.5, 39.0])
+
+    fake_gpd = types.ModuleType("geopandas")
+    fake_gpd.read_file = lambda path: _FakeGdf()
+    monkeypatch.setitem(sys.modules, "geopandas", fake_gpd)
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from src.datasets.fenhe_dataset_split import split_dataset_by_year as ref_split  # noqa
+
+    years = ((2012, 2012), (2013, 2013), (2013, 2013))
+    ref_tr, ref_va, ref_te = ref_split(ds, *years)
+    our_tr, our_va, our_te = split_dataset_by_year(ds, *years)
+    assert list(ref_tr.indices) == list(our_tr.indices)
+    assert list(ref_va.indices) == list(our_va.indices)
+    assert list(ref_te.indices) == list(our_te.indices)
+
+
+@pytest.mark.parametrize("strategy", ["log", "stratified", "sqrt", "none"])
+def test_loss_weight_strategies_match_reference(rng, strategy):
+    import torch
+    import jax.numpy as jnp
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from src.losses.combined_loss import CombinedLoss as TorchCombinedLoss  # noqa
+    from pl_convlstm_gan_tpu.losses import combined_loss
+
+    b, t, h_lr, w_lr = 1, 3, 8, 8
+    scale = 4.0
+    pred = rng.standard_normal((b, t, 1, 32, 32), dtype=np.float32)
+    lr = rng.standard_normal((b, t, 1, h_lr, w_lr), dtype=np.float32)
+    coords = rng.integers(0, 8, (6, 2))
+    vals = np.abs(rng.standard_normal((b, t, 6), dtype=np.float32)) * 40
+
+    use_weighted = strategy != "none"
+    ref_loss = TorchCombinedLoss(use_weighted_loss=use_weighted,
+                                 weight_strategy=strategy)
+    with torch.no_grad():
+        ref_total, _ = ref_loss(torch.from_numpy(pred), torch.from_numpy(lr),
+                                torch.from_numpy(coords),
+                                torch.from_numpy(vals), scale)
+    total, _ = combined_loss(jnp.asarray(pred), jnp.asarray(lr),
+                             jnp.asarray(coords), jnp.asarray(vals), scale,
+                             use_weighted_loss=use_weighted,
+                             weight_strategy=strategy)
+    np.testing.assert_allclose(float(total), float(ref_total), rtol=1e-4)
