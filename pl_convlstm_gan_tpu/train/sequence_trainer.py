@@ -246,10 +246,13 @@ class SequenceTrainer:
         return {k: float(v.mean()) for k, v in stacked.items()}
 
     def train(self):
+        import time
         self.setup_data()
         self.setup_model()
         for epoch in range(self.start_epoch, self.config.training.epochs):
+            epoch_t0 = time.perf_counter()
             avg = self.train_epoch(epoch)
+            epoch_s = time.perf_counter() - epoch_t0
 
             self.history["epoch"].append(epoch)
             train_loss = avg["g_total"] if self.is_gan else avg["total"]
@@ -264,7 +267,8 @@ class SequenceTrainer:
                 self.history["val_l1"].append(val["l1"])
                 self.history["val_ssim"].append(val["ssim"])
                 print(f"Epoch {epoch} | Train: {train_loss:.4f} | "
-                      f"Val L1: {val['l1']:.4f} | Val SSIM: {val['ssim']:.4f}")
+                      f"Val L1: {val['l1']:.4f} | Val SSIM: {val['ssim']:.4f} | "
+                      f"{epoch_s:.1f}s")
                 current = val["l1"]
             else:
                 print(f"Epoch {epoch} | Train: {train_loss:.4f}")

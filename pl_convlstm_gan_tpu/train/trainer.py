@@ -298,9 +298,12 @@ class Trainer:
         dataset = self.setup_data()
         self.setup_model(dataset)
 
+        import time
         epoch = self.start_epoch - 1
         for epoch in range(self.start_epoch, self.config.training.epochs):
+            epoch_t0 = time.perf_counter()
             avg = self.train_epoch(epoch)
+            epoch_s = time.perf_counter() - epoch_t0
 
             self.history["epoch"].append(epoch)
             self.history["total_loss"].append(avg["total"])
@@ -315,7 +318,8 @@ class Trainer:
             if val_metrics:
                 print(f"Epoch {epoch} | Train RMSE: {avg['rmse']:.4f} | "
                       f"Val Loss: {val_metrics['loss']:.4f} | "
-                      f"Val RMSE: {val_metrics['rmse']:.4f}")
+                      f"Val RMSE: {val_metrics['rmse']:.4f} | "
+                      f"{epoch_s:.1f}s")
                 self.scheduler.step(val_metrics["rmse"])
                 current_rmse = val_metrics["rmse"]
             else:
