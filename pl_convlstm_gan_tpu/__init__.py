@@ -23,3 +23,21 @@ Layout
 __version__ = "0.1.0"
 
 from . import config  # noqa: F401
+from .config import Config, load_config  # noqa: F401
+
+# heavyweight entry points resolve lazily (importing them pulls in jax/flax)
+_LAZY = {
+    "Trainer": ("pl_convlstm_gan_tpu.train.trainer", "Trainer"),
+    "SequenceTrainer": ("pl_convlstm_gan_tpu.train.sequence_trainer",
+                        "SequenceTrainer"),
+    "load_predictor": ("pl_convlstm_gan_tpu.predict", "load_predictor"),
+    "build_model": ("pl_convlstm_gan_tpu.predict", "build_model"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
