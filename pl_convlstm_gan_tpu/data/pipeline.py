@@ -30,50 +30,105 @@ def _stack(items):
     return tuple(np.stack([it[i] for it in items]) for i in range(len(items[0])))
 
 
+def _process_slice(idx, process_index: Optional[int], process_count: Optional[int]):
+    """This host's contiguous block of a global batch's index list.
+
+    Block (not interleaved) slicing matches the global array layout produced by
+    ``jax.make_array_from_process_local_data`` over a mesh built from
+    ``jax.devices()``, whose order groups each process's local devices
+    contiguously — host p owns global rows [p*local : (p+1)*local]."""
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if pc == 1:
+        return idx
+    local = len(idx) // pc
+    assert local * pc == len(idx), \
+        f"global batch {len(idx)} not divisible by {pc} processes"
+    return idx[pi * local:(pi + 1) * local]
+
+
 def batch_iterator(dataset, batch_size: int, shuffle: bool = False,
-                   seed: int = 0, drop_last: bool = True,
-                   epoch: int = 0) -> Iterator:
-    """Plain numpy batching over a map-style dataset (one epoch)."""
+                   seed: int = 0, drop_last: bool = True, epoch: int = 0,
+                   process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> Iterator:
+    """Numpy batching over a map-style dataset (one epoch).
+
+    `batch_size` is the GLOBAL batch size. Under multi-host DP every host draws
+    the same seeded global permutation and yields only its own per-host block of
+    each global batch (disjoint + complete across hosts by construction);
+    ``prefetch_to_device`` then assembles the global sharded array. Single
+    process: the block is the whole batch."""
     n = len(dataset)
     order = np.arange(n)
     if shuffle:
         np.random.default_rng(seed + epoch).shuffle(order)
     end = n - (n % batch_size) if drop_last else n
     for start in range(0, end, batch_size):
-        idx = order[start:start + batch_size]
+        idx = _process_slice(order[start:start + batch_size],
+                             process_index, process_count)
         yield _stack([dataset[int(i)] for i in idx])
 
 
-def eval_batches(dataset, batch_size: int) -> Iterator:
+def eval_batches(dataset, batch_size: int,
+                 process_index: Optional[int] = None,
+                 process_count: Optional[int] = None) -> Iterator:
     """Full-coverage eval batching: yields (batch, n_valid). The final partial
-    batch is wrap-padded to the full batch size so shapes stay static (no
-    recompile, DP-divisible); consumers weight metrics by n_valid."""
+    batch is wrap-padded to the full (global) batch size so shapes stay static
+    (no recompile, DP-divisible); eval steps mask rows with global index >=
+    n_valid. Under multi-host DP each host yields its block of every global
+    batch (same batch count on all hosts; n_valid is the GLOBAL count, matching
+    the global row indices after assembly)."""
     n = len(dataset)
     for start in range(0, n, batch_size):
         n_valid = min(batch_size, n - start)
-        idx = [(start + j) % n for j in range(batch_size)]
+        idx = _process_slice([(start + j) % n for j in range(batch_size)],
+                             process_index, process_count)
         yield _stack([dataset[int(i)] for i in idx]), n_valid
 
 
 def make_grain_loader(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
                       num_epochs: Optional[int] = 1, drop_remainder: bool = True,
-                      shard_by_process: bool = False,
+                      shard_by_process: bool = True,
                       worker_count: int = 0) -> Iterable:
-    """grain.MapDataset pipeline: [shard] -> shuffle -> batch -> (workers) iterate."""
+    """grain.MapDataset pipeline: [shard] -> shuffle -> batch -> (workers) iterate.
+
+    `batch_size` is the GLOBAL batch size; under multi-host DP each host's
+    pipeline reads a disjoint interleaved shard of the dataset and emits its
+    per-host slice (batch_size / process_count items) of every global batch —
+    ``prefetch_to_device`` assembles the global sharded array."""
     import grain
 
     ds = grain.MapDataset.source(dataset)
+    local_bs = batch_size
     if shard_by_process and jax.process_count() > 1:
+        assert batch_size % jax.process_count() == 0, \
+            (batch_size, jax.process_count())
         ds = ds[jax.process_index()::jax.process_count()]
+        local_bs = batch_size // jax.process_count()
     if shuffle:
         ds = ds.shuffle(seed=seed)
     if num_epochs is not None and num_epochs != 1:
         ds = ds.repeat(num_epochs)
-    ds = ds.batch(batch_size, drop_remainder=drop_remainder, batch_fn=_stack)
+    ds = ds.batch(local_bs, drop_remainder=drop_remainder, batch_fn=_stack)
     if worker_count > 0:
         return ds.to_iter_dataset().mp_prefetch(
             grain.MultiprocessingOptions(num_workers=worker_count))
     return ds
+
+
+def put_global_batch(batch, sharding):
+    """Place a (per-host local) batch as a globally-sharded on-device array.
+
+    Single-process: a plain ``device_put`` with the NamedSharding (input is the
+    full global batch). Multi-host: each host holds only its block of the global
+    batch, and ``jax.make_array_from_process_local_data`` assembles the global
+    jax.Array across processes — the per-host input feed the reference lacks
+    entirely (SURVEY.md §2.2 'per-host data sharding')."""
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
 
 
 def prefetch_to_device(iterator: Iterable, size: int = 2,
@@ -82,14 +137,14 @@ def prefetch_to_device(iterator: Iterable, size: int = 2,
 
     With a `sharding` (e.g. NamedSharding over the data axis), each batch is placed
     directly into its sharded layout — per-device H2D happens once, here, not inside
-    the step."""
+    the step. Under multi-host DP the local batch becomes this host's shard of the
+    global array (see put_global_batch)."""
     queue = collections.deque()
     it = iter(iterator)
 
     def _put(batch):
         if sharding is not None:
-            return jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, sharding), batch)
+            return put_global_batch(batch, sharding)
         return jax.tree_util.tree_map(jax.device_put, batch)
 
     for batch in itertools.islice(it, size):

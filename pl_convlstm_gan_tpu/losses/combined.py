@@ -48,8 +48,13 @@ def compute_sample_weights(rain_values: jnp.ndarray, use_weighted_loss: bool = T
 
 def _station_pixel_indices(coords: jnp.ndarray, scale_factor, h: int, w: int):
     """Scale LR station coords to HR pixels with center alignment
-    (reference combined_loss.py:96-104). Returns (rows, cols, valid_mask)."""
-    scaled = jnp.floor((coords.astype(jnp.float32) + 0.5) * scale_factor - 0.5)
+    (reference combined_loss.py:96-104). Returns (rows, cols, valid_mask).
+
+    The reference casts with torch ``.long()`` — truncation toward zero — so a
+    slightly-negative scaled coordinate (coord 0 with scale < 0.5) maps to index 0
+    (valid) rather than -1 (masked). float->int astype matches that semantics;
+    ``floor`` would not."""
+    scaled = (coords.astype(jnp.float32) + 0.5) * scale_factor - 0.5
     scaled = scaled.astype(jnp.int32)
     rows, cols = scaled[:, 0], scaled[:, 1]
     valid = (rows >= 0) & (rows < h) & (cols >= 0) & (cols < w)
@@ -77,11 +82,15 @@ def prepare_station_batch(s_coords: jnp.ndarray, s_values: jnp.ndarray, batch: i
     return coords, values
 
 
-def point_supervision_loss(pred: jnp.ndarray, s_coords: jnp.ndarray,
+def point_supervision_sums(pred: jnp.ndarray, s_coords: jnp.ndarray,
                            s_values: jnp.ndarray, scale_factor=1.0,
                            use_weighted_loss: bool = True,
-                           weight_strategy: str = "log") -> jnp.ndarray:
-    """Masked, intensity-weighted L1 at station pixels (combined_loss.py:79-141)."""
+                           weight_strategy: str = "log",
+                           batch_mask: jnp.ndarray | None = None):
+    """(weighted-abs-error sum, valid-entry count) at station pixels.
+
+    The sum form lets eval aggregate exactly across batches (batch-size-invariant
+    metrics) and lets `batch_mask` [B] zero out wrap-padded eval rows inside jit."""
     b, t, _, h, w = pred.shape
     pred_vals = pred[:, :, 0, :, :]
     coords, values = prepare_station_batch(s_coords, s_values, b)
@@ -90,49 +99,79 @@ def point_supervision_loss(pred: jnp.ndarray, s_coords: jnp.ndarray,
     pred_at = _gather_stations(pred_vals, rows, cols)            # [B, T, N]
     obs_ok = ~jnp.isnan(values)
     mask = (obs_ok & station_valid[None, None, :]).astype(pred_at.dtype)
+    if batch_mask is not None:
+        mask = mask * batch_mask.astype(mask.dtype)[:, None, None]
     obs = jnp.nan_to_num(values, nan=0.0)
 
     weights = compute_sample_weights(obs, use_weighted_loss, weight_strategy)
     per_elem = jnp.abs(pred_at - obs) * weights * mask
-    count = mask.sum()
-    return jnp.where(count > 0, per_elem.sum() / jnp.maximum(count, 1), 0.0)
+    return per_elem.sum(), mask.sum()
 
 
-def conservation_loss(pred: jnp.ndarray, lr_input: jnp.ndarray) -> jnp.ndarray:
+def point_supervision_loss(pred: jnp.ndarray, s_coords: jnp.ndarray,
+                           s_values: jnp.ndarray, scale_factor=1.0,
+                           use_weighted_loss: bool = True,
+                           weight_strategy: str = "log",
+                           batch_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Masked, intensity-weighted L1 at station pixels (combined_loss.py:79-141)."""
+    num, count = point_supervision_sums(pred, s_coords, s_values, scale_factor,
+                                        use_weighted_loss, weight_strategy,
+                                        batch_mask)
+    return jnp.where(count > 0, num / jnp.maximum(count, 1), 0.0)
+
+
+def _batch_mean(per_sample: jnp.ndarray, batch_mask: jnp.ndarray | None):
+    """Mean of a per-sample [B] series, restricted to batch_mask when given."""
+    if batch_mask is None:
+        return per_sample.mean()
+    m = batch_mask.astype(per_sample.dtype)
+    cnt = m.sum()
+    return jnp.where(cnt > 0, (per_sample * m).sum() / jnp.maximum(cnt, 1), 0.0)
+
+
+def conservation_loss(pred: jnp.ndarray, lr_input: jnp.ndarray,
+                      batch_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Mass conservation: area-downscale pred to LR grid, L1 (combined_loss.py:64-74)."""
     from ..ops.resize import resize_area
     h_lr, w_lr = lr_input.shape[-2:]
     # [B,T,1,H,W] -> channel-last for the resize op, back after
     p = jnp.moveaxis(pred, 2, -1)                                # [B,T,H,W,1]
     p_lr = resize_area(p, h_lr, w_lr)
-    return jnp.abs(p_lr - jnp.moveaxis(lr_input, 2, -1)).mean()
+    err = jnp.abs(p_lr - jnp.moveaxis(lr_input, 2, -1))
+    return _batch_mean(err.reshape(err.shape[0], -1).mean(axis=1), batch_mask)
 
 
-def gradient_loss(pred: jnp.ndarray) -> jnp.ndarray:
+def gradient_loss(pred: jnp.ndarray,
+                  batch_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Spatial smoothness (combined_loss.py:146-155)."""
     gx = jnp.abs(pred[..., :, :-1] - pred[..., :, 1:])
     gy = jnp.abs(pred[..., :-1, :] - pred[..., 1:, :])
-    return gx.mean() + gy.mean()
+    return (_batch_mean(gx.reshape(gx.shape[0], -1).mean(axis=1), batch_mask)
+            + _batch_mean(gy.reshape(gy.shape[0], -1).mean(axis=1), batch_mask))
 
 
-def temporal_consistency_loss(pred: jnp.ndarray) -> jnp.ndarray:
+def temporal_consistency_loss(pred: jnp.ndarray,
+                              batch_mask: jnp.ndarray | None = None) -> jnp.ndarray:
     """Adjacent-timestep smoothness (combined_loss.py:160-168)."""
-    return jnp.abs(pred[:, :-1] - pred[:, 1:]).mean()
+    err = jnp.abs(pred[:, :-1] - pred[:, 1:])
+    return _batch_mean(err.reshape(err.shape[0], -1).mean(axis=1), batch_mask)
 
 
 def combined_loss(pred: jnp.ndarray, lr_input: jnp.ndarray, s_coords: jnp.ndarray,
                   s_values: jnp.ndarray, scale_factor=1.0,
                   lambda_point: float = 1.0, lambda_conserve: float = 1.0,
                   lambda_smooth: float = 0.1, lambda_temporal: float = 0.05,
-                  use_weighted_loss: bool = True, weight_strategy: str = "log"
+                  use_weighted_loss: bool = True, weight_strategy: str = "log",
+                  batch_mask: jnp.ndarray | None = None
                   ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total = lp*point + lc*conserve + ls*smooth + lt*temporal
     (combined_loss.py:173-191). Returns (total, component dict)."""
     loss_point = point_supervision_loss(pred, s_coords, s_values, scale_factor,
-                                        use_weighted_loss, weight_strategy)
-    loss_conserve = conservation_loss(pred, lr_input)
-    loss_smooth = gradient_loss(pred)
-    loss_temporal = temporal_consistency_loss(pred)
+                                        use_weighted_loss, weight_strategy,
+                                        batch_mask)
+    loss_conserve = conservation_loss(pred, lr_input, batch_mask)
+    loss_smooth = gradient_loss(pred, batch_mask)
+    loss_temporal = temporal_consistency_loss(pred, batch_mask)
     total = (lambda_point * loss_point + lambda_conserve * loss_conserve
              + lambda_smooth * loss_smooth + lambda_temporal * loss_temporal)
     return total, {"point": loss_point, "conserve": loss_conserve,
@@ -159,18 +198,31 @@ class CombinedLoss:
                              self.use_weighted_loss, self.weight_strategy)
 
 
-def station_rmse(pred: jnp.ndarray, s_coords: jnp.ndarray, s_values: jnp.ndarray,
-                 scale_factor=1.0) -> jnp.ndarray:
-    """Masked RMSE at station pixels. Unifies the gather logic the reference
-    duplicates between the loss and trainer (SURVEY.md §5 'latent behaviors';
-    reference trainer.py:225-272)."""
+def station_sq_err_sums(pred: jnp.ndarray, s_coords: jnp.ndarray,
+                        s_values: jnp.ndarray, scale_factor=1.0,
+                        batch_mask: jnp.ndarray | None = None):
+    """(squared-error sum, valid-entry count) at station pixels — the sum form
+    of station_rmse for exact cross-batch aggregation (rmse = sqrt(num/cnt))."""
     b, t, _, h, w = pred.shape
     pred_vals = pred[:, :, 0, :, :]
     coords, values = prepare_station_batch(s_coords, s_values, b)
     rows, cols, station_valid = _station_pixel_indices(coords, scale_factor, h, w)
     pred_at = _gather_stations(pred_vals, rows, cols)
-    mask = (~jnp.isnan(values)) & station_valid[None, None, :]
+    mask = ((~jnp.isnan(values)) & station_valid[None, None, :]).astype(
+        pred_at.dtype)
+    if batch_mask is not None:
+        mask = mask * batch_mask.astype(mask.dtype)[:, None, None]
     obs = jnp.nan_to_num(values, nan=0.0)
     se = jnp.square(pred_at - obs) * mask
-    count = mask.sum()
-    return jnp.where(count > 0, jnp.sqrt(se.sum() / jnp.maximum(count, 1)), 0.0)
+    return se.sum(), mask.sum()
+
+
+def station_rmse(pred: jnp.ndarray, s_coords: jnp.ndarray, s_values: jnp.ndarray,
+                 scale_factor=1.0,
+                 batch_mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Masked RMSE at station pixels. Unifies the gather logic the reference
+    duplicates between the loss and trainer (SURVEY.md §5 'latent behaviors';
+    reference trainer.py:225-272)."""
+    num, count = station_sq_err_sums(pred, s_coords, s_values, scale_factor,
+                                     batch_mask)
+    return jnp.where(count > 0, jnp.sqrt(num / jnp.maximum(count, 1)), 0.0)

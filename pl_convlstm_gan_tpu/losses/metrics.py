@@ -17,31 +17,44 @@ from typing import Dict, Sequence
 import jax.numpy as jnp
 
 
-def contingency_counts(pred: jnp.ndarray, target: jnp.ndarray, threshold: float):
-    """(hits, misses, false_alarms, correct_negatives) at a threshold."""
+def contingency_counts(pred: jnp.ndarray, target: jnp.ndarray, threshold: float,
+                       batch_mask: jnp.ndarray = None):
+    """(hits, misses, false_alarms, correct_negatives) at a threshold.
+
+    `batch_mask` [B] (pred/target batch-leading) restricts counting to valid
+    samples — used by eval to exclude wrap-padded rows."""
     p = pred >= threshold
     t = target >= threshold
-    hits = jnp.sum(p & t)
-    misses = jnp.sum(~p & t)
-    false_alarms = jnp.sum(p & ~t)
-    correct_neg = jnp.sum(~p & ~t)
-    return hits, misses, false_alarms, correct_neg
+    stats = (p & t, ~p & t, p & ~t, ~p & ~t)
+    if batch_mask is None:
+        return tuple(jnp.sum(s) for s in stats)
+    b = pred.shape[0]
+    m = batch_mask.astype(jnp.float32)
+    return tuple((s.reshape(b, -1).sum(axis=1).astype(jnp.float32) * m).sum()
+                 for s in stats)
 
 
 def _safe(num, den):
     return jnp.where(den > 0, num / jnp.maximum(den, 1), 0.0)
 
 
-def categorical_scores(pred: jnp.ndarray, target: jnp.ndarray,
-                       threshold: float) -> Dict[str, jnp.ndarray]:
-    a, c, b, d = contingency_counts(pred, target, threshold)  # hits,miss,fa,cn
-    a, b, c, d = (x.astype(jnp.float32) for x in (a, b, c, d))
+def scores_from_counts(a, b, c, d) -> Dict[str, jnp.ndarray]:
+    """POD/FAR/CSI/HSS from (hits a, false_alarms b, misses c, correct_neg d).
+    Works on jnp scalars inside jit and on host floats when eval aggregates
+    counts across batches."""
     pod = _safe(a, a + c)
     far = _safe(b, a + b)
     csi = _safe(a, a + b + c)
     expected = ((a + c) * (c + d) + (a + b) * (b + d))
     hss = _safe(2 * (a * d - b * c), expected)
     return {"pod": pod, "far": far, "csi": csi, "hss": hss}
+
+
+def categorical_scores(pred: jnp.ndarray, target: jnp.ndarray,
+                       threshold: float) -> Dict[str, jnp.ndarray]:
+    a, c, b, d = contingency_counts(pred, target, threshold)  # hits,miss,fa,cn
+    a, b, c, d = (jnp.asarray(x, jnp.float32) for x in (a, b, c, d))
+    return scores_from_counts(a, b, c, d)
 
 
 def nowcast_scores(pred: jnp.ndarray, target: jnp.ndarray,

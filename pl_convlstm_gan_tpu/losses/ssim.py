@@ -30,11 +30,9 @@ def _blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
     return lax.conv_general_dilated(y, kw, (1, 1), "VALID", dimension_numbers=dn)
 
 
-def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
-         window_size: int = 11, sigma: float = 1.5,
-         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
-    """Mean SSIM over all frames. pred/target: [..., H, W] (any leading dims; a
-    trailing channel dim of size 1 is also accepted as [..., H, W, 1])."""
+def _ssim_map(pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
+              window_size: int, sigma: float, k1: float, k2: float):
+    """Flattened-leading-dims SSIM map [N, H', W', 1] (VALID-cropped border)."""
     if pred.shape[-1] == 1 and pred.ndim >= 3:
         p, t = pred, target
     else:
@@ -54,4 +52,23 @@ def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
     c2 = (k2 * data_range) ** 2
     num = (2 * mu_p * mu_t + c1) * (2 * mu_pt + c2)
     den = (mu_p ** 2 + mu_t ** 2 + c1) * (mu_pp + mu_tt + c2)
-    return (num / den).mean()
+    return num / den
+
+
+def ssim(pred: jnp.ndarray, target: jnp.ndarray, data_range: float = 1.0,
+         window_size: int = 11, sigma: float = 1.5,
+         k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """Mean SSIM over all frames. pred/target: [..., H, W] (any leading dims; a
+    trailing channel dim of size 1 is also accepted as [..., H, W, 1])."""
+    return _ssim_map(pred, target, data_range, window_size, sigma, k1, k2).mean()
+
+
+def ssim_per_sample(pred: jnp.ndarray, target: jnp.ndarray,
+                    data_range: float = 1.0, window_size: int = 11,
+                    sigma: float = 1.5, k1: float = 0.01,
+                    k2: float = 0.03) -> jnp.ndarray:
+    """Per-sample mean SSIM [B] over a batch-leading tensor — lets eval mask
+    wrap-padded rows and aggregate exactly across batches."""
+    b = pred.shape[0]
+    m = _ssim_map(pred, target, data_range, window_size, sigma, k1, k2)
+    return m.reshape(b, -1).mean(axis=1)

@@ -85,8 +85,13 @@ class ConvLSTMForecaster(nn.Module):
 
         if targets is not None:
             tgt = jnp.transpose(targets, (1, 0, 3, 4, 2)).astype(cdtype)
-            # teacher input for step s >= t_in is target frame (s - t_in)
-            tpad = jnp.zeros((t_in - 1, b, h, w, c), cdtype)
+            # Step s emits prediction outs[s] = target[s - t_in + 1], so the
+            # teacher-forced input at step s must be the ground truth of the
+            # PREVIOUS frame: target[s - t_in]. Hence t_in leading zeros (encode
+            # steps use the observed frame; teacher_seq there is never selected).
+            # A (t_in - 1)-zero pad would feed each step its own label — an
+            # identity shortcut that silently degrades free-running rollout.
+            tpad = jnp.zeros((t_in, b, h, w, c), cdtype)
             teacher_seq = jnp.concatenate([tpad, tgt], axis=0)[:steps]
         else:
             teacher_seq = jnp.zeros((steps, b, h, w, c), cdtype)

@@ -50,9 +50,11 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 
     Station coords/values are identical across batch items in the Fenhe data
     (SURVEY.md §5), but they are still batch-leading arrays here, so a uniform
-    leading-dim shard is correct for every element."""
-    s = batch_sharding(mesh, axis_name)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+    leading-dim shard is correct for every element. Multi-host: the input is
+    this host's block of the global batch and the global jax.Array is assembled
+    across processes (data/pipeline.put_global_batch)."""
+    from ..data.pipeline import put_global_batch
+    return put_global_batch(batch, batch_sharding(mesh, axis_name))
 
 
 def replicate(tree, mesh: Mesh):

@@ -4,7 +4,8 @@ from .checkpoint import save_checkpoint, restore_checkpoint
 from .steps import (TrainState, GANTrainState, make_optimizer,
                     make_generator_train_step, make_generator_eval_step,
                     make_forecaster_train_step, make_forecaster_eval_step,
-                    make_gan_train_step)
+                    make_gan_train_step, aggregate_generator_eval,
+                    aggregate_sequence_eval)
 from .trainer import Trainer
 from .sequence_trainer import SequenceTrainer
 
@@ -14,5 +15,6 @@ __all__ = [
     "TrainState", "GANTrainState", "make_optimizer",
     "make_generator_train_step", "make_generator_eval_step",
     "make_forecaster_train_step", "make_forecaster_eval_step",
-    "make_gan_train_step", "Trainer",
+    "make_gan_train_step", "aggregate_generator_eval",
+    "aggregate_sequence_eval", "Trainer",
 ]

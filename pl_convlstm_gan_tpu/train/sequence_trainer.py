@@ -166,49 +166,32 @@ class SequenceTrainer:
                              0.0, 1.0))
 
     # ------------------------------------------------------------------ eval
-    def validate(self) -> Optional[Dict[str, float]]:
-        if self.val_dataset is None or len(self.val_dataset) == 0:
+    def _run_eval(self, dataset) -> Optional[Dict[str, float]]:
+        """Shared eval driver: wrap-padding masked inside the jit, sums
+        aggregated exactly on host (skill scores from GLOBAL contingency counts)
+        — metrics are batch-size-invariant."""
+        if dataset is None or len(dataset) == 0:
             return None
-        from ..data.pipeline import eval_batches
+        from ..data.pipeline import eval_batches, put_global_batch
+        from .steps import aggregate_sequence_eval
         params = self.state.gen_params if self.is_gan else self.state.params
         sharding = batch_sharding(self.mesh) if self.data_parallel else None
-        l1s, ssims, weights = [], [], []
-        for batch, n_valid in eval_batches(self.val_dataset,
+        acc = []
+        for batch, n_valid in eval_batches(dataset,
                                            self.config.training.batch_size):
             if sharding is not None:
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), batch)
-            m = self.eval_step(params, batch)
-            l1s.append(float(m["l1"]))
-            ssims.append(float(m["ssim"]))
-            weights.append(n_valid)
-        if not l1s:
-            return None
-        w = np.asarray(weights, np.float64)
-        return {"l1": float(np.average(l1s, weights=w)),
-                "ssim": float(np.average(ssims, weights=w))}
+                batch = put_global_batch(batch, sharding)
+            acc.append(self.eval_step(params, batch,
+                                      jnp.asarray(n_valid, jnp.int32)))
+        return aggregate_sequence_eval(acc)
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        return self._run_eval(self.val_dataset)
 
     def evaluate_test(self) -> Optional[Dict[str, float]]:
         """All eval metrics (L1, SSIM, optional POD/FAR/CSI/HSS@threshold) on the
         held-out test split (free-running rollout)."""
-        if self.test_dataset is None or len(self.test_dataset) == 0:
-            return None
-        from ..data.pipeline import eval_batches
-        params = self.state.gen_params if self.is_gan else self.state.params
-        acc: Dict[str, list] = {}
-        weights = []
-        for batch, n_valid in eval_batches(self.test_dataset,
-                                           self.config.training.batch_size):
-            if self.data_parallel:
-                s = batch_sharding(self.mesh)
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, s), batch)
-            m = self.eval_step(params, batch)
-            for k, v in m.items():
-                acc.setdefault(k, []).append(float(v))
-            weights.append(n_valid)
-        w = np.asarray(weights, np.float64)
-        return {k: float(np.average(v, weights=w)) for k, v in acc.items()}
+        return self._run_eval(self.test_dataset)
 
     # ----------------------------------------------------------------- train
     def train_epoch(self, epoch: int) -> Dict[str, float]:
@@ -271,6 +254,10 @@ class SequenceTrainer:
                       f"{epoch_s:.1f}s")
                 current = val["l1"]
             else:
+                # NaN-pad so every history series stays aligned with 'epoch'
+                # (plots silently drop length-mismatched series otherwise)
+                self.history["val_l1"].append(float("nan"))
+                self.history["val_ssim"].append(float("nan"))
                 print(f"Epoch {epoch} | Train: {train_loss:.4f}")
                 current = train_loss
             self.scheduler.step(current)
@@ -291,12 +278,7 @@ class SequenceTrainer:
             if interval and (epoch + 1) % interval == 0:
                 save_checkpoint(os.path.join(self.output_dir, "latest"),
                                 self._device_state_dict(),
-                                {"epoch": epoch, "metric": current,
-                                 "history": self.history,
-                                 "scheduler": self.scheduler.state_dict(),
-                                 "early_stopping": (
-                                     self.early_stopping.state_dict()
-                                     if self.early_stopping else None)})
+                                self._host_state(epoch, current))
 
             if self.early_stopping is not None and self.early_stopping.early_stop:
                 print(f"Early stopping at epoch {epoch + 1}")
@@ -346,13 +328,18 @@ class SequenceTrainer:
         return {"params": self.state.params, "opt_state": self.state.opt_state,
                 "step": self.state.step}
 
+    def _host_state(self, epoch: int, metric: float) -> Dict:
+        return {"epoch": epoch, "metric": metric, "history": self.history,
+                # historical best, kept separate from this checkpoint's own
+                # metric so resuming from 'latest' never lowers the best bar
+                "best_metric": self.best_metric, "best_epoch": self.best_epoch,
+                "scheduler": self.scheduler.state_dict(),
+                "early_stopping": (self.early_stopping.state_dict()
+                                   if self.early_stopping else None)}
+
     def save_best(self, epoch: int, metric: float):
-        host_state = {"epoch": epoch, "metric": metric, "history": self.history,
-                      "scheduler": self.scheduler.state_dict(),
-                      "early_stopping": (self.early_stopping.state_dict()
-                                         if self.early_stopping else None)}
         save_checkpoint(os.path.join(self.output_dir, "best_model"),
-                        self._device_state_dict(), host_state)
+                        self._device_state_dict(), self._host_state(epoch, metric))
 
     def restore(self, path: str):
         target = self._device_state_dict()
@@ -369,8 +356,8 @@ class SequenceTrainer:
         if self.data_parallel:
             self.state = replicate(self.state, self.mesh)
         self.history = host_state["history"]
-        self.best_metric = host_state["metric"]
-        self.best_epoch = host_state["epoch"]
+        self.best_metric = host_state.get("best_metric", host_state["metric"])
+        self.best_epoch = host_state.get("best_epoch", host_state["epoch"])
         self.start_epoch = host_state["epoch"] + 1
         self.scheduler.load_state_dict(host_state["scheduler"])
         if self.early_stopping is not None and host_state.get("early_stopping"):

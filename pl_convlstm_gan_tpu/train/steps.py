@@ -26,8 +26,10 @@ import jax.numpy as jnp
 import optax
 
 from ..losses.adversarial import discriminator_loss, gan_generator_loss, l1_loss
-from ..losses.combined import combined_loss, station_rmse
-from ..losses.ssim import ssim
+from ..losses.combined import (combined_loss, conservation_loss, gradient_loss,
+                               point_supervision_sums, station_rmse,
+                               station_sq_err_sums, temporal_consistency_loss)
+from ..losses.ssim import ssim, ssim_per_sample
 
 
 class TrainState(NamedTuple):
@@ -109,25 +111,56 @@ def make_generator_train_step(apply_fn: Callable, tx: optax.GradientTransformati
 
 def make_generator_eval_step(apply_fn: Callable, loss_cfg: Dict,
                              input_grid_size=None) -> Callable:
-    """Returns jitted eval(params, batch) -> metrics (loss + rmse), mirroring
-    Trainer.validate (reference trainer.py:182-223)."""
+    """Returns jitted eval(params, batch, n_valid) -> {metric: (sum, weight)}.
 
-    def evaluate(params, batch):
+    Rows with index >= n_valid (wrap-padding from ``eval_batches``) carry weight
+    zero INSIDE the jit, and every metric is emitted in sum form so the host can
+    aggregate exactly across batches — val/test metrics are bit-identical to an
+    unbatched computation regardless of batch size (round-1 eval-bias fix).
+    Combine with ``aggregate_generator_eval``."""
+
+    def evaluate(params, batch, n_valid):
         rain_lr, dem, lu, s_coords, s_values = batch
+        b = rain_lr.shape[0]
+        valid = jnp.arange(b) < n_valid
+        nv = valid.sum().astype(jnp.float32)
         kwargs = {}
         if input_grid_size is not None:
             kwargs["input_grid_size"] = input_grid_size
         pred = apply_fn(params, rain_lr, dem, lu, **kwargs)
         scale = pred.shape[-2] / rain_lr.shape[-2]
-        total, parts = combined_loss(
-            pred, rain_lr, s_coords, s_values, scale,
-            loss_cfg["lambda_point"], loss_cfg["lambda_conserve"],
-            loss_cfg["lambda_smooth"], loss_cfg["lambda_temporal"],
-            loss_cfg["use_weighted_loss"], loss_cfg["weight_strategy"])
-        rmse = station_rmse(pred, s_coords, s_values, scale)
-        return {"total": total, "rmse": rmse, **parts}
+        cfg = (loss_cfg["use_weighted_loss"], loss_cfg["weight_strategy"])
+        p_num, p_cnt = point_supervision_sums(pred, s_coords, s_values, scale,
+                                              *cfg, batch_mask=valid)
+        se_num, se_cnt = station_sq_err_sums(pred, s_coords, s_values, scale,
+                                             batch_mask=valid)
+        return {
+            "point": (p_num, p_cnt),
+            "conserve": (conservation_loss(pred, rain_lr, valid) * nv, nv),
+            "smooth": (gradient_loss(pred, valid) * nv, nv),
+            "temporal": (temporal_consistency_loss(pred, valid) * nv, nv),
+            "se": (se_num, se_cnt),
+        }
 
     return jax.jit(evaluate)
+
+
+def aggregate_generator_eval(metric_batches, loss_cfg: Dict
+                             ) -> Optional[Dict[str, float]]:
+    """Host-side exact aggregation of generator eval sums across batches."""
+    if not metric_batches:
+        return None
+    keys = metric_batches[0].keys()
+    num = {k: sum(float(m[k][0]) for m in metric_batches) for k in keys}
+    wt = {k: sum(float(m[k][1]) for m in metric_batches) for k in keys}
+    comp = {k: (num[k] / wt[k] if wt[k] > 0 else 0.0)
+            for k in ("point", "conserve", "smooth", "temporal")}
+    rmse = (num["se"] / wt["se"]) ** 0.5 if wt["se"] > 0 else 0.0
+    total = (loss_cfg["lambda_point"] * comp["point"]
+             + loss_cfg["lambda_conserve"] * comp["conserve"]
+             + loss_cfg["lambda_smooth"] * comp["smooth"]
+             + loss_cfg["lambda_temporal"] * comp["temporal"])
+    return {"loss": total, "rmse": rmse, **comp}
 
 
 # --------------------------------------------------------------------------
@@ -165,19 +198,50 @@ def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformat
 def make_forecaster_eval_step(apply_fn: Callable,
                               score_thresholds: Optional[Tuple[float, ...]] = None
                               ) -> Callable:
-    """eval(params, batch) -> {l1, ssim, [pod/far/csi/hss@th]} on free-running
-    rollout. `score_thresholds` adds categorical nowcasting skill scores."""
-    from ..losses.metrics import nowcast_scores
+    """eval(params, batch, n_valid) -> {metric: (sum, weight)} on free-running
+    rollout; wrap-padded rows (index >= n_valid) carry weight zero inside jit.
+    Skill-score contingency counts ride along raw so the host computes ratios of
+    GLOBAL counts, not averages of per-batch ratios. Combine with
+    ``aggregate_sequence_eval``."""
+    from ..losses.metrics import contingency_counts
 
-    def evaluate(params, batch):
+    def evaluate(params, batch, n_valid):
         inputs, targets = batch
+        b = inputs.shape[0]
+        valid = jnp.arange(b) < n_valid
+        nv = valid.sum().astype(jnp.float32)
+        vm = valid.astype(jnp.float32)
         pred = apply_fn(params, inputs)
-        out = {"l1": l1_loss(pred, targets), "ssim": ssim(pred, targets)}
-        if score_thresholds:
-            out.update(nowcast_scores(pred, targets, score_thresholds))
+        l1_ps = jnp.abs(pred - targets).reshape(b, -1).mean(axis=1)
+        ssim_ps = ssim_per_sample(pred, targets)
+        out = {"l1": ((l1_ps * vm).sum(), nv), "ssim": ((ssim_ps * vm).sum(), nv)}
+        for th in (score_thresholds or ()):
+            hits, miss, fa, cn = contingency_counts(pred, targets, th, valid)
+            out[f"counts@{th:g}"] = (jnp.stack([hits, miss, fa, cn]), nv)
         return out
 
     return jax.jit(evaluate)
+
+
+def aggregate_sequence_eval(metric_batches) -> Optional[Dict[str, float]]:
+    """Host-side exact aggregation of forecaster eval sums: masked means for
+    l1/ssim, POD/FAR/CSI/HSS recomputed from globally-summed contingency counts."""
+    from ..losses.metrics import scores_from_counts
+    if not metric_batches:
+        return None
+    import numpy as np
+    out: Dict[str, float] = {}
+    for k in metric_batches[0]:
+        num = sum(np.asarray(m[k][0], np.float64) for m in metric_batches)
+        wt = sum(float(m[k][1]) for m in metric_batches)
+        if k.startswith("counts@"):
+            hits, miss, fa, cn = num
+            scores = scores_from_counts(hits, fa, miss, cn)
+            th = k.split("@", 1)[1]
+            out.update({f"{s}@{th}": float(v) for s, v in scores.items()})
+        else:
+            out[k] = float(num) / wt if wt > 0 else 0.0
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -217,50 +217,33 @@ class Trainer:
         return station_rmse(jnp.asarray(fake_hr), jnp.asarray(s_coords),
                             jnp.asarray(s_values), scale_factor)
 
-    def validate(self) -> Optional[Dict[str, float]]:
-        """Validation loss + RMSE (reference trainer.py:182-223). Uses
-        wrap-padded static-shape batches so small val sets still evaluate."""
-        if self.val_dataset is None or len(self.val_dataset) == 0:
+    def _run_eval(self, dataset) -> Optional[Dict[str, float]]:
+        """Shared eval driver: wrap-padded static-shape batches, padding masked
+        inside the jit, sums aggregated exactly on host — metrics are identical
+        to an unbatched computation whatever the batch size."""
+        if dataset is None or len(dataset) == 0:
             return None
-        from ..data.pipeline import eval_batches
-        losses, rmses, weights = [], [], []
+        from ..data.pipeline import eval_batches, put_global_batch
+        from .steps import aggregate_generator_eval
         params = self.state.params
         sharding = batch_sharding(self.mesh) if self.data_parallel else None
-        for batch, n_valid in eval_batches(self.val_dataset,
+        acc = []
+        for batch, n_valid in eval_batches(dataset,
                                            self.config.training.batch_size):
             if sharding is not None:
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, sharding), batch)
-            m = self.eval_step(params, batch)
-            losses.append(float(m["total"]))
-            rmses.append(float(m["rmse"]))
-            weights.append(n_valid)
-        if not losses:
-            return None
-        w = np.asarray(weights, np.float64)
-        return {"loss": float(np.average(losses, weights=w)),
-                "rmse": float(np.average(rmses, weights=w))}
+                batch = put_global_batch(batch, sharding)
+            acc.append(self.eval_step(params, batch,
+                                      jnp.asarray(n_valid, jnp.int32)))
+        return aggregate_generator_eval(acc, self.loss_cfg)
+
+    def validate(self) -> Optional[Dict[str, float]]:
+        """Validation loss + RMSE (reference trainer.py:182-223)."""
+        return self._run_eval(self.val_dataset)
 
     def evaluate_test(self) -> Optional[Dict[str, float]]:
         """Loss + RMSE on the held-out test split — the inference/eval entry the
         reference never had (SURVEY.md §0: no torch.load, no eval CLI)."""
-        if self.test_dataset is None or len(self.test_dataset) == 0:
-            return None
-        from ..data.pipeline import eval_batches
-        losses, rmses, weights = [], [], []
-        for batch, n_valid in eval_batches(self.test_dataset,
-                                           self.config.training.batch_size):
-            if self.data_parallel:
-                s = batch_sharding(self.mesh)
-                batch = jax.tree_util.tree_map(
-                    lambda x: jax.device_put(x, s), batch)
-            m = self.eval_step(self.state.params, batch)
-            losses.append(float(m["total"]))
-            rmses.append(float(m["rmse"]))
-            weights.append(n_valid)
-        w = np.asarray(weights, np.float64)
-        return {"loss": float(np.average(losses, weights=w)),
-                "rmse": float(np.average(rmses, weights=w))}
+        return self._run_eval(self.test_dataset)
 
     # ----------------------------------------------------------------- train
     def train_epoch(self, epoch: int):
@@ -385,12 +368,14 @@ class Trainer:
                 kwargs["input_grid_size"] = self.input_grid_size
             pred = self.model.apply(self.state.params, rain_lr, dem, lu, **kwargs)
             scale = pred.shape[-2] / rain_lr.shape[-2]
+            # same scaling/bounds logic as the loss (SURVEY.md §5: unify the
+            # gather the reference duplicates between loss and trainer)
+            from ..losses.combined import _station_pixel_indices
             coords = np.asarray(s_coords)[0]
-            scaled = np.floor((coords + 0.5) * scale - 0.5).astype(int)
             h, w = pred.shape[-2:]
-            valid = ((scaled[:, 0] >= 0) & (scaled[:, 0] < h)
-                     & (scaled[:, 1] >= 0) & (scaled[:, 1] < w))
-            pv = np.asarray(pred)[0, :, 0][:, scaled[valid, 0], scaled[valid, 1]]
+            rows, cols, valid = map(np.asarray, _station_pixel_indices(
+                jnp.asarray(coords), scale, h, w))
+            pv = np.asarray(pred)[0, :, 0][:, rows[valid], cols[valid]]
             tv = np.asarray(s_values)[0][:, valid]
             plot_stations_vs_pred(
                 coords[valid], np.nan_to_num(tv).mean(0), pv.mean(0),
@@ -404,6 +389,10 @@ class Trainer:
     def _host_state(self, epoch: int, rmse: float) -> Dict:
         return {
             "epoch": epoch, "rmse": rmse, "history": self.history,
+            # historical best, tracked separately from this checkpoint's own
+            # epoch/rmse: resuming from a periodic 'latest' checkpoint must not
+            # reset the best-model bar to that epoch's (typically worse) rmse.
+            "best_rmse": self.best_rmse, "best_epoch": self.best_epoch,
             "scheduler": self.scheduler.state_dict(),
             "early_stopping": (self.early_stopping.state_dict()
                                if self.early_stopping else None),
@@ -435,8 +424,10 @@ class Trainer:
         if self.data_parallel:
             self.state = replicate(self.state, self.mesh)
         self.history = host_state["history"]
-        self.best_rmse = host_state["rmse"]
-        self.best_epoch = host_state["epoch"]
+        # prefer the explicitly-tracked historical best (see _host_state); older
+        # checkpoints without it fall back to the checkpoint's own epoch/rmse
+        self.best_rmse = host_state.get("best_rmse", host_state["rmse"])
+        self.best_epoch = host_state.get("best_epoch", host_state["epoch"])
         self.start_epoch = host_state["epoch"] + 1
         self.scheduler.load_state_dict(host_state["scheduler"])
         if self.early_stopping is not None and host_state.get("early_stopping"):

@@ -1,0 +1,97 @@
+"""Subprocess worker for the REAL multi-process data-parallel test.
+
+Launched by tests/test_sharding.py as N processes (each with 4 virtual CPU
+devices) coordinated via jax.distributed — the same code path a 4-host v5e-16
+slice runs: per-host loader blocks -> jax.make_array_from_process_local_data ->
+shard_map DP train step -> host-aware eval. The reference has no distribution
+at all (/root/reference/src/training/trainer.py:20); this validates the build's
+multi-host input feed end to end.
+
+Usage: python mp_dp_worker.py <process_id> <num_processes> <port>
+"""
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                           num_processes=nproc, process_id=pid)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+from pl_convlstm_gan_tpu.data import SyntheticSequenceDataset  # noqa: E402
+from pl_convlstm_gan_tpu.data.pipeline import (batch_iterator, eval_batches,  # noqa: E402
+                                               prefetch_to_device,
+                                               put_global_batch, _stack)
+from pl_convlstm_gan_tpu.models import ConvLSTMForecaster  # noqa: E402
+from pl_convlstm_gan_tpu.parallel import make_mesh, batch_sharding, replicate  # noqa: E402
+from pl_convlstm_gan_tpu.parallel.train_parallel import (  # noqa: E402
+    make_dp_forecaster_train_step)
+from pl_convlstm_gan_tpu.train import (TrainState, aggregate_sequence_eval,  # noqa: E402
+                                       make_forecaster_eval_step, make_optimizer)
+
+assert jax.process_count() == nproc
+GLOBAL_BATCH = 8
+ds = SyntheticSequenceDataset(num_sequences=13, input_frames=2, output_frames=2,
+                              image_size=8, seed=7)
+mesh = make_mesh()
+assert mesh.devices.size == 4 * nproc
+sharding = batch_sharding(mesh)
+
+# --- 1. global-batch assembly correctness -----------------------------------
+# this host's loader blocks, assembled into global arrays
+local_iter = batch_iterator(ds, GLOBAL_BATCH, shuffle=True, seed=3)
+global_batches = list(prefetch_to_device(local_iter, size=2, sharding=sharding))
+# the expected global batches, computed single-process-style
+expected = list(batch_iterator(ds, GLOBAL_BATCH, shuffle=True, seed=3,
+                               process_index=0, process_count=1))
+assert len(global_batches) == len(expected) == 13 // GLOBAL_BATCH
+for got, exp in zip(global_batches, expected):
+    for g_arr, e_arr in zip(got, exp):
+        assert g_arr.shape == e_arr.shape, (g_arr.shape, e_arr.shape)
+        for shard in g_arr.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          e_arr[shard.index])
+print(f"PROC {pid}: global batch assembly OK", flush=True)
+
+# --- 2. DP train step over the assembled batch ------------------------------
+model = ConvLSTMForecaster(hidden_dims=(8,), input_frames=2, output_frames=2)
+sample = jnp.zeros((GLOBAL_BATCH, 2, 1, 8, 8))
+params = model.init(jax.random.PRNGKey(0), sample)  # deterministic on all hosts
+tx = make_optimizer(0.5)
+state = replicate(TrainState(params, tx.init(params), jnp.zeros((), jnp.int32)),
+                  mesh)
+step = make_dp_forecaster_train_step(model.apply, tx, mesh)
+for batch in global_batches:
+    state, m = step(state, batch, jnp.asarray(1e-2), jnp.asarray(0.0),
+                    jax.random.PRNGKey(1))
+assert np.isfinite(float(m["total"]))
+assert int(m["skipped"]) == 0
+leaf = jax.tree_util.tree_leaves(state.params)[0]
+assert leaf.sharding.is_fully_replicated
+print(f"PROC {pid}: DP train step OK (loss {float(m['total']):.4f})", flush=True)
+
+# --- 3. host-aware eval: exact vs an unbatched local computation ------------
+eval_step = make_forecaster_eval_step(model.apply)
+acc = []
+for local_batch, n_valid in eval_batches(ds, GLOBAL_BATCH):
+    batch = put_global_batch(local_batch, sharding)
+    acc.append(eval_step(state.params, batch, jnp.asarray(n_valid, jnp.int32)))
+got = aggregate_sequence_eval(acc)
+
+# unbatched single-host reference on the SAME final params (replicated -> local)
+local_params = jax.device_get(state.params)
+full = _stack([ds[i] for i in range(len(ds))])
+ref = aggregate_sequence_eval([
+    eval_step(local_params, tuple(jnp.asarray(x) for x in full),
+              jnp.asarray(len(ds), jnp.int32))])
+for k in got:
+    np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, err_msg=k)
+print(f"PROC {pid}: host-aware eval OK (l1 {got['l1']:.5f})", flush=True)
+print(f"PROC {pid}: ALL OK", flush=True)

@@ -83,6 +83,21 @@ def test_point_loss_matches_torch_reference_math(rng):
     np.testing.assert_allclose(float(ours), float(theirs), rtol=1e-5)
 
 
+def test_station_index_trunc_matches_torch_long(rng):
+    """Downscaling (scale < 1): coord 0 scales to -0.3, which torch .long()
+    truncates to 0 (station KEPT) — floor would give -1 (station dropped).
+    Pins the truncation-toward-zero semantics (ADVICE.md round-1 finding)."""
+    from pl_convlstm_gan_tpu.losses.combined import _station_pixel_indices
+    coords = jnp.asarray(np.array([[0, 0], [2, 3]]))
+    scale = 0.4  # (0 + 0.5) * 0.4 - 0.5 = -0.3
+    rows, cols, valid = _station_pixel_indices(coords, scale, 8, 8)
+    torch_scaled = ((torch.tensor(np.asarray(coords)).float() + 0.5)
+                    * scale - 0.5).long()
+    np.testing.assert_array_equal(np.asarray(rows), torch_scaled[:, 0].numpy())
+    np.testing.assert_array_equal(np.asarray(cols), torch_scaled[:, 1].numpy())
+    assert bool(valid[0]), "slightly-negative scaled coord must stay valid"
+
+
 def test_point_loss_out_of_bounds_and_empty(rng):
     pred = jnp.asarray(rng.standard_normal((1, 2, 1, 16, 16), dtype=np.float32))
     # station scaled out of bounds at scale 1 on a 16x16 grid

@@ -127,6 +127,33 @@ def test_forecaster_teacher_forcing_changes_output(rng):
     np.testing.assert_allclose(np.asarray(free), np.asarray(unforced), atol=1e-6)
 
 
+def test_forecaster_teacher_input_alignment(rng):
+    """With tf_prob=1, prediction k must NEVER see its own label targets[k] —
+    only strictly earlier target frames (ADVICE.md round-1 high finding: an
+    off-by-one fed each step its own label, an identity shortcut)."""
+    t_in, t_out = 3, 4
+    model = ConvLSTMForecaster(hidden_dims=(8,), input_frames=t_in,
+                               output_frames=t_out)
+    frames = jnp.asarray(rng.standard_normal((1, t_in, 1, 8, 8), dtype=np.float32))
+    targets = jnp.asarray(rng.standard_normal((1, t_out, 1, 8, 8), dtype=np.float32))
+    params = model.init(jax.random.PRNGKey(0), frames)
+
+    def pred_k(tgt, k):
+        out = model.apply(params, frames, targets=tgt, teacher_forcing_prob=1.0,
+                          rng=jax.random.PRNGKey(1))
+        return jnp.sum(out[:, k])
+
+    for k in range(t_out):
+        g = jax.grad(pred_k)(targets, k)
+        g = np.asarray(g)
+        per_frame = np.abs(g).reshape(t_out, -1).sum(axis=1)
+        # no dependence on the frame being predicted, or any later frame
+        assert per_frame[k:].sum() == 0.0, (k, per_frame)
+        if k > 0:
+            # teacher forcing at prob=1 must feed target[k-1] into step k
+            assert per_frame[k - 1] > 0.0, (k, per_frame)
+
+
 def test_discriminator_shapes(rng):
     model = Discriminator(features=(8, 16))
     frames = jnp.asarray(rng.standard_normal((2, 5, 1, 64, 64), dtype=np.float32))

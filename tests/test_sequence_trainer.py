@@ -72,3 +72,34 @@ def test_evaluate_test_with_skill_scores(tmp_path):
     assert "l1" in metrics and "ssim" in metrics
     assert "csi@0.3" in metrics and "pod@0.6" in metrics
     assert 0.0 <= metrics["csi@0.3"] <= 1.0
+
+
+def test_sequence_eval_batch_size_invariant():
+    """Forecaster eval (incl. skill scores from global contingency counts) on a
+    non-divisible split equals the unbatched computation exactly."""
+    import jax
+    import jax.numpy as jnp
+    from pl_convlstm_gan_tpu.data import SyntheticSequenceDataset
+    from pl_convlstm_gan_tpu.data.pipeline import eval_batches
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.train import aggregate_sequence_eval
+    from pl_convlstm_gan_tpu.train.steps import make_forecaster_eval_step
+
+    ds = SyntheticSequenceDataset(num_sequences=13, input_frames=2,
+                                  output_frames=3, image_size=16, seed=5)
+    model = ConvLSTMForecaster(hidden_dims=(8,), input_frames=2, output_frames=3)
+    sample_in = jnp.asarray(np.stack([ds[0][0]]))
+    params = model.init(jax.random.PRNGKey(0), sample_in)
+    eval_step = make_forecaster_eval_step(model.apply, (0.3, 0.6))
+
+    def run(bs):
+        acc = [eval_step(params, tuple(jnp.asarray(x) for x in b),
+                         jnp.asarray(nv, jnp.int32))
+               for b, nv in eval_batches(ds, bs)]
+        return aggregate_sequence_eval(acc)
+
+    full = run(len(ds))
+    batched = run(4)  # 13 % 4 != 0 -> final batch wrap-padded
+    assert set(full) == set(batched)
+    for k in full:
+        assert batched[k] == pytest.approx(full[k], rel=1e-5), k

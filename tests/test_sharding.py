@@ -1,6 +1,8 @@
 """Multi-device tests on the 8-way virtual CPU mesh (conftest forces
 xla_force_host_platform_device_count=8): shard_map DP steps must (a) run, (b) keep
 replicas identical, and (c) match the single-device step numerically."""
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -136,3 +138,89 @@ def test_tensor_parallel_cell_matches_single_device(rng):
 
     np.testing.assert_allclose(np.asarray(h_tp), np.asarray(h_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_tp), np.asarray(c_ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# multi-host data-parallel input feed (round-2: VERDICT.md next-round item 1)
+# ---------------------------------------------------------------------------
+
+def test_process_sharded_train_batches_disjoint_and_complete():
+    """Per-host loader blocks of every global batch are disjoint, complete, and
+    reassemble (in block order) into the exact single-process global batch."""
+    from pl_convlstm_gan_tpu.data import SyntheticSequenceDataset
+    ds = SyntheticSequenceDataset(num_sequences=35, input_frames=2,
+                                  output_frames=2, image_size=8, seed=1)
+    P, gbs = 4, 8
+    single = list(batch_iterator(ds, gbs, shuffle=True, seed=9,
+                                 process_index=0, process_count=1))
+    per_proc = [list(batch_iterator(ds, gbs, shuffle=True, seed=9,
+                                    process_index=p, process_count=P))
+                for p in range(P)]
+    assert all(len(b) == len(single) for b in per_proc)
+    for bi, ref in enumerate(single):
+        for arr_i, ref_arr in enumerate(ref):
+            blocks = [per_proc[p][bi][arr_i] for p in range(P)]
+            assert all(b.shape[0] == gbs // P for b in blocks)
+            np.testing.assert_array_equal(np.concatenate(blocks, axis=0),
+                                          ref_arr)
+
+
+def test_process_sharded_eval_batches_match_global():
+    """eval_batches per-host blocks reassemble the global wrap-padded batches
+    with identical n_valid on every host."""
+    from pl_convlstm_gan_tpu.data import SyntheticSequenceDataset
+    from pl_convlstm_gan_tpu.data.pipeline import eval_batches
+    ds = SyntheticSequenceDataset(num_sequences=13, input_frames=2,
+                                  output_frames=2, image_size=8, seed=1)
+    P, gbs = 2, 8
+    single = list(eval_batches(ds, gbs, process_index=0, process_count=1))
+    per_proc = [list(eval_batches(ds, gbs, process_index=p, process_count=P))
+                for p in range(P)]
+    assert [nv for _, nv in per_proc[0]] == [nv for _, nv in single] == [8, 5]
+    for bi, (ref, nv_ref) in enumerate(single):
+        for p in range(P):
+            assert per_proc[p][bi][1] == nv_ref
+        for arr_i, ref_arr in enumerate(ref):
+            blocks = [per_proc[p][bi][0][arr_i] for p in range(P)]
+            np.testing.assert_array_equal(np.concatenate(blocks, axis=0),
+                                          ref_arr)
+
+
+def test_put_global_batch_single_process_matches_device_put():
+    mesh = make_mesh()
+    from pl_convlstm_gan_tpu.data.pipeline import put_global_batch
+    x = (np.arange(16, dtype=np.float32).reshape(8, 2),)
+    s = batch_sharding(mesh)
+    out = put_global_batch(x, s)
+    ref = jax.device_put(x[0], s)
+    np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(ref))
+    assert out[0].sharding == ref.sharding
+
+
+def test_multiprocess_dp_end_to_end():
+    """REAL 2-process jax.distributed run (4 virtual CPU devices each = 8
+    global): per-host loader -> make_array_from_process_local_data -> shard_map
+    DP step -> host-aware eval, all verified inside tests/mp_dp_worker.py."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    here = os.path.dirname(os.path.abspath(__file__))
+    worker = os.path.join(here, "mp_dp_worker.py")
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    env["PYTHONPATH"] = os.path.dirname(here)
+    procs = [subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                              text=True, env=env, cwd=os.path.dirname(here))
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=420)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert "ALL OK" in out

@@ -168,6 +168,34 @@ def test_latest_checkpoint_saved(tmp_path):
     assert os.path.isdir(os.path.join(str(tmp_path / "out"), "latest"))
 
 
+def test_eval_batch_size_invariant():
+    """Eval metrics on a non-divisible split must exactly equal an unbatched
+    computation — wrap-padded rows are masked inside the jit and sums aggregate
+    on host (round-1 eval-bias fix; VERDICT.md next-round item 5)."""
+    from pl_convlstm_gan_tpu.data.pipeline import eval_batches
+    from pl_convlstm_gan_tpu.train import aggregate_generator_eval
+    from pl_convlstm_gan_tpu.train.steps import make_generator_eval_step
+    ds = SyntheticDownscalingDataset(num_days=16, T=3, lr_size=8, scale_factor=2,
+                                     num_stations=4, seed=3)
+    assert len(ds) % 4 != 0  # 13 samples: final batch of 4 is wrap-padded
+    model = Generator(hidden_dims=(8, 8), lu_channels=ds.num_lu_classes,
+                      scale_factor=2)
+    b0 = tuple(jnp.asarray(np.stack([x])) for x in ds[0])
+    params = model.init(jax.random.PRNGKey(0), *b0[:3])
+    eval_step = make_generator_eval_step(model.apply, LOSS_CFG)
+
+    def run(bs):
+        acc = [eval_step(params, tuple(jnp.asarray(x) for x in b),
+                         jnp.asarray(nv, jnp.int32))
+               for b, nv in eval_batches(ds, bs)]
+        return aggregate_generator_eval(acc, LOSS_CFG)
+
+    full = run(len(ds))          # one batch = the unbatched reference
+    batched = run(4)
+    for k in full:
+        assert batched[k] == pytest.approx(full[k], rel=1e-5), k
+
+
 def test_trainer_grain_loader(tmp_path):
     cfg = _tiny_config(tmp_path, epochs=1)
     cfg.data.loader = "grain"
