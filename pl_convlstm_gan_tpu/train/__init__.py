@@ -1,6 +1,6 @@
 from .early_stopping import EarlyStopping
 from .plateau import ReduceLROnPlateau
-from .checkpoint import save_checkpoint, restore_checkpoint
+from .checkpoint import CheckpointWriter, save_checkpoint, restore_checkpoint
 from .steps import (TrainState, GANTrainState, make_optimizer,
                     make_generator_train_step, make_generator_eval_step,
                     make_forecaster_train_step, make_forecaster_eval_step,
@@ -11,7 +11,8 @@ from .sequence_trainer import SequenceTrainer
 
 __all__ = [
     "SequenceTrainer",
-    "EarlyStopping", "ReduceLROnPlateau", "save_checkpoint", "restore_checkpoint",
+    "EarlyStopping", "ReduceLROnPlateau", "CheckpointWriter",
+    "save_checkpoint", "restore_checkpoint",
     "TrainState", "GANTrainState", "make_optimizer",
     "make_generator_train_step", "make_generator_eval_step",
     "make_forecaster_train_step", "make_forecaster_eval_step",

@@ -1,13 +1,21 @@
-"""Checkpointing: best-model save AND restore via orbax.
+"""Checkpointing: best-model save AND restore via orbax, with ASYNC saves.
 
 The reference only ever saves (``torch.save`` at ``/root/reference/src/training/
 trainer.py:402-418``; zero ``torch.load`` calls exist — SURVEY.md §5), bundling epoch,
-model/optimizer/scheduler state and history. We keep that bundle layout but add the
-missing restore path: device pytrees (params/opt_state) go through orbax; host-side
-scalars/dicts (epoch, rmse, history, scheduler/early-stop state) ride alongside as
-JSON."""
+model/optimizer/scheduler state and history, and blocks the epoch loop while doing it.
+We keep that bundle layout but (a) add the missing restore path and (b) make the save
+asynchronous (SURVEY.md §5 names orbax async checkpointing as the restart-recovery
+answer): device arrays are snapshotted and serialized on a background thread while the
+next epoch trains; host-side scalars/dicts ride alongside as JSON.
+
+Crash safety: a save writes into ``<path>.pending`` and is promoted to ``<path>``
+only after the async serialization finishes (on the next save, an explicit
+``wait()``, or interpreter exit) — a crash mid-save leaves the previous complete
+checkpoint at ``<path>`` untouched.
+"""
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
@@ -16,29 +24,70 @@ from typing import Any, Dict, Optional, Tuple
 import orbax.checkpoint as ocp
 
 
-def save_checkpoint(path: str, device_state: Any, host_state: Dict) -> None:
-    """Atomically replace the checkpoint at `path` (a directory).
+class CheckpointWriter:
+    """Async checkpoint writer; one save in flight at a time per writer."""
 
-    Mirrors the reference's delete-then-save of best_model.pth
-    (trainer.py:402-417)."""
-    path = os.path.abspath(path)
-    tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(os.path.join(tmp, "state"), device_state)
-    ckptr.wait_until_finished()
-    with open(os.path.join(tmp, "host_state.json"), "w") as f:
-        json.dump(host_state, f)
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(tmp, path)
+    def __init__(self):
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        self._pending: Optional[Tuple[str, str]] = None  # (tmp_dir, final_dir)
+        atexit.register(self.wait)
+
+    def save(self, path: str, device_state: Any, host_state: Dict) -> None:
+        """Start an async save of `device_state` + `host_state` to `path`.
+
+        Returns as soon as the device arrays are snapshotted; serialization and
+        the atomic promotion to `path` happen in the background / on the next
+        checkpoint operation. Mirrors the reference's bundle (trainer.py:402-417)
+        without its epoch-loop stall."""
+        path = os.path.abspath(path)
+        self.wait()  # finalize any previous save first
+        tmp = path + ".pending"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp, exist_ok=True)
+        with open(os.path.join(tmp, "host_state.json"), "w") as f:
+            json.dump(host_state, f)
+        self._ckptr.save(os.path.join(tmp, "state"), device_state)
+        self._pending = (tmp, path)
+
+    def wait(self) -> None:
+        """Block until the in-flight save (if any) is finalized at its path."""
+        if self._pending is None:
+            return
+        tmp, path = self._pending
+        self._pending = None
+        self._ckptr.wait_until_finished()
+        # promote: rename old aside, move pending in, drop old. The
+        # non-atomic window is two renames — the previous checkpoint is never
+        # deleted before the new one is complete on disk.
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.replace(path, old)
+        os.replace(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
+
+
+def save_checkpoint(path: str, device_state: Any, host_state: Dict) -> None:
+    """Synchronous convenience save (used by tests/tools): async write + wait."""
+    w = CheckpointWriter()
+    w.save(path, device_state, host_state)
+    w.close()
 
 
 def restore_checkpoint(path: str, target: Optional[Any] = None
                        ) -> Tuple[Any, Dict]:
     """Restore (device_state, host_state). `target` (a matching pytree of arrays)
-    restores dtypes/shardings exactly; without it orbax infers the topology."""
+    restores dtypes/shardings exactly; without it orbax infers the topology.
+
+    Callers holding a CheckpointWriter must ``wait()`` it first if restoring a
+    path that writer may still be serializing."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(path, "state")

@@ -24,7 +24,7 @@ from ..models import ConvLSTMForecaster, Discriminator
 from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from ..utils.visualization import (plot_sequence_comparison,
                                    plot_training_curves)
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import CheckpointWriter, restore_checkpoint
 from .early_stopping import EarlyStopping
 from .plateau import ReduceLROnPlateau
 from .steps import (GANTrainState, TrainState, make_forecaster_eval_step,
@@ -47,6 +47,8 @@ class SequenceTrainer:
         self.best_metric = float("inf")
         self.best_epoch = -1
         self.start_epoch = 0
+        # async checkpoint writer: serialization overlaps the next epoch
+        self._ckpt_writer = CheckpointWriter()
 
         tc = self.config.training
         self.early_stopping = EarlyStopping(
@@ -276,14 +278,15 @@ class SequenceTrainer:
                       f"metric {current:.4f}")
             interval = self.config.output.save_model_interval
             if interval and (epoch + 1) % interval == 0:
-                save_checkpoint(os.path.join(self.output_dir, "latest"),
-                                self._device_state_dict(),
-                                self._host_state(epoch, current))
+                self._ckpt_writer.save(os.path.join(self.output_dir, "latest"),
+                                       self._device_state_dict(),
+                                       self._host_state(epoch, current))
 
             if self.early_stopping is not None and self.early_stopping.early_stop:
                 print(f"Early stopping at epoch {epoch + 1}")
                 break
 
+        self._ckpt_writer.wait()  # finalize any in-flight checkpoint
         val = self.history.get("val_l1", [])
         rmse_series = val if len(val) == len(self.history["epoch"]) \
             else self.history["total_loss"]
@@ -338,10 +341,13 @@ class SequenceTrainer:
                                    if self.early_stopping else None)}
 
     def save_best(self, epoch: int, metric: float):
-        save_checkpoint(os.path.join(self.output_dir, "best_model"),
-                        self._device_state_dict(), self._host_state(epoch, metric))
+        """Async best-checkpoint save (overlaps the next epoch's compute)."""
+        self._ckpt_writer.save(os.path.join(self.output_dir, "best_model"),
+                               self._device_state_dict(),
+                               self._host_state(epoch, metric))
 
     def restore(self, path: str):
+        self._ckpt_writer.wait()  # finalize any in-flight save of this path
         target = self._device_state_dict()
         device_state, host_state = restore_checkpoint(path, target)
         if self.is_gan:

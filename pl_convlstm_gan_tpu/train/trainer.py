@@ -32,7 +32,7 @@ from ..losses.combined import station_rmse
 from ..models import Generator
 from ..parallel.mesh import batch_sharding, make_mesh, replicate
 from ..utils.visualization import plot_stations_vs_pred, plot_training_curves
-from .checkpoint import restore_checkpoint, save_checkpoint
+from .checkpoint import CheckpointWriter, restore_checkpoint
 from .early_stopping import EarlyStopping
 from .plateau import ReduceLROnPlateau
 from .steps import (TrainState, make_generator_eval_step,
@@ -55,6 +55,8 @@ class Trainer:
         self.best_rmse = float("inf")
         self.best_epoch = -1
         self.start_epoch = 0
+        # async checkpoint writer: serialization overlaps the next epoch
+        self._ckpt_writer = CheckpointWriter()
 
         self.early_stopping = None
         tc = self.config.training
@@ -343,6 +345,7 @@ class Trainer:
                       f"{self.best_epoch + 1}, RMSE {self.best_rmse:.4f}")
                 break
 
+        self._ckpt_writer.wait()  # finalize any in-flight checkpoint
         plot_training_curves(
             self.history,
             save_path=os.path.join(self.output_dir, "final_training_curves.png"),
@@ -403,18 +406,22 @@ class Trainer:
                 "step": self.state.step}
 
     def save_best(self, epoch: int, rmse: float):
-        """Best-checkpoint bundle (reference trainer.py:402-418) + host state."""
-        save_checkpoint(os.path.join(self.output_dir, "best_model"),
-                        self._device_state(), self._host_state(epoch, rmse))
+        """Best-checkpoint bundle (reference trainer.py:402-418) + host state.
+        Asynchronous: the save overlaps the next epoch's compute."""
+        self._ckpt_writer.save(os.path.join(self.output_dir, "best_model"),
+                               self._device_state(),
+                               self._host_state(epoch, rmse))
 
     def save_latest(self, epoch: int, rmse: float):
         """Rolling latest-checkpoint for restart-based failure recovery."""
-        save_checkpoint(os.path.join(self.output_dir, "latest"),
-                        self._device_state(), self._host_state(epoch, rmse))
+        self._ckpt_writer.save(os.path.join(self.output_dir, "latest"),
+                               self._device_state(),
+                               self._host_state(epoch, rmse))
 
     def restore(self, path: str):
         """Resume from a checkpoint — the load path the reference never had
         (SURVEY.md §5 checkpoint row)."""
+        self._ckpt_writer.wait()  # finalize any in-flight save of this path
         target = {"params": self.state.params, "opt_state": self.state.opt_state,
                   "step": self.state.step}
         device_state, host_state = restore_checkpoint(path, target)

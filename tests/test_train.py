@@ -203,3 +203,62 @@ def test_trainer_grain_loader(tmp_path):
     history = trainer.train()
     assert len(history["epoch"]) == 1
     assert np.isfinite(history["total_loss"][0])
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """Async saves: save() returns before finalization; wait() promotes the
+    pending dir atomically; overwrites keep the previous checkpoint complete
+    until the new one is on disk; restore round-trips."""
+    from pl_convlstm_gan_tpu.train import CheckpointWriter
+    model, tx, state, batch = _tiny_setup()
+    path = str(tmp_path / "ck")
+    w = CheckpointWriter()
+
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w.save(path, dev, {"epoch": 0, "rmse": 1.0, "history": {},
+                       "scheduler": {}, "early_stopping": None})
+    w.wait()
+    assert os.path.isdir(path) and not os.path.exists(path + ".pending")
+
+    # overwrite with updated state while a save may be in flight
+    step = make_generator_train_step(model.apply, tx, LOSS_CFG)
+    state2, _ = step(state, batch, jnp.asarray(1e-2))
+    dev2 = {"params": state2.params, "opt_state": state2.opt_state,
+            "step": state2.step}
+    w.save(path, dev2, {"epoch": 1, "rmse": 0.5, "history": {},
+                        "scheduler": {}, "early_stopping": None})
+    # back-to-back second save must finalize the first implicitly
+    state3, _ = step(state2, batch, jnp.asarray(1e-2))
+    dev3 = {"params": state3.params, "opt_state": state3.opt_state,
+            "step": state3.step}
+    w.save(path, dev3, {"epoch": 2, "rmse": 0.4, "history": {},
+                        "scheduler": {}, "early_stopping": None})
+    w.close()
+
+    restored, host = restore_checkpoint(path, dev3)
+    assert host["epoch"] == 2 and host["rmse"] == 0.4
+    assert int(np.asarray(restored["step"])) == 2
+    for a, b in zip(jax.tree_util.tree_leaves(state3.params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_async_checkpoint_crash_leaves_previous_intact(tmp_path):
+    """A writer that dies before wait() must leave the previously finalized
+    checkpoint readable (crash-resume safety)."""
+    from pl_convlstm_gan_tpu.train import CheckpointWriter
+    _, tx, state, _ = _tiny_setup()
+    path = str(tmp_path / "ck")
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w1 = CheckpointWriter()
+    w1.save(path, dev, {"epoch": 0, "rmse": 1.0})
+    w1.close()
+    # second save started but never finalized ("crash"): pending dir lingers
+    w2 = CheckpointWriter()
+    w2.save(path, dev, {"epoch": 1, "rmse": 0.5})
+    w2._ckptr.wait_until_finished()   # let IO settle, but skip promotion
+    w2._pending = None                # simulate the process dying pre-wait
+    _, host = restore_checkpoint(path, dev)
+    assert host["epoch"] == 0         # previous checkpoint intact
