@@ -20,6 +20,78 @@ import argparse
 import os
 
 
+def is_leap_year(year: int) -> bool:
+    return (year % 4 == 0 and year % 100 != 0) or (year % 400 == 0)
+
+
+def qc_hourly_times(times, year: int) -> dict:
+    """Hourly-timestamp QC (reference cmorph.py:74-106), dependency-light
+    (pandas only): duplicate timestamps (count + first five, as the reference
+    reports), hour-count vs leap-year expectation with over/under direction,
+    and the covered time range. Returns a dict; the CLI prints `messages`."""
+    import pandas as pd
+
+    times = pd.DatetimeIndex(times)
+    dups = times[times.duplicated()]
+    expected_hours = (366 if is_leap_year(year) else 365) * 24
+    msgs = []
+    if len(dups) > 0:
+        msgs.append(f"WARNING: {len(dups)} duplicate timestamps "
+                    f"(first 5: {[str(t) for t in dups[:5]]})")
+    diff = len(times) - expected_hours
+    if diff > 0:
+        msgs.append(f"WARNING: {diff} hours MORE than expected "
+                    f"({len(times)} vs {expected_hours})")
+    elif diff < 0:
+        msgs.append(f"WARNING: {-diff} hours MISSING "
+                    f"({len(times)} vs {expected_hours})")
+    return {
+        "total_hours": len(times), "expected_hours": expected_hours,
+        "n_duplicates": int(len(dups)),
+        "duplicate_times": [str(t) for t in dups[:5]],
+        "time_range": (str(times.min()), str(times.max())) if len(times) else None,
+        "messages": msgs,
+    }
+
+
+def daily_accumulations(values, times, year: int) -> dict:
+    """The two daily accumulation systems (reference cmorph.py:108-119), pure
+    numpy/pandas so the math is testable without xarray:
+
+    - "hydro_08-08": Beijing-time 08:00->08:00 hydrological days == plain UTC
+      calendar-day sums (UTC 00:00 == Beijing 08:00), NaN unless all 24 hours
+      are present (min_count=24).
+    - "cma_20-20": Beijing 20:00->20:00 meteorological days == shift the hourly
+      series 12 positions earlier, then the same calendar-day sum — day D
+      aggregates [D 12:00 UTC, D+1 12:00 UTC); the final day is NaN (its last
+      12 source hours don't exist).
+
+    `values`: [T, H, W] hourly grids (NaN outside the basin mask);
+    `times`: matching hourly DatetimeIndex. Returns
+    {system: (daily [D, H, W] float32, DatetimeIndex of D days)} plus a
+    per-system day-count QC message list under key "messages"."""
+    import numpy as np
+    import pandas as pd
+
+    t, h, w = values.shape
+    df = pd.DataFrame(values.reshape(t, h * w),
+                      index=pd.DatetimeIndex(times))
+    daily = {
+        "hydro_08-08": df.resample("1D").sum(min_count=24),
+        "cma_20-20": df.shift(-12).resample("1D").sum(min_count=24),
+    }
+    expected_days = 366 if is_leap_year(year) else 365
+    out, msgs = {}, []
+    for name, d in daily.items():
+        arr = d.to_numpy().astype(np.float32).reshape(len(d), h, w)
+        if len(d) != expected_days:
+            msgs.append(f"WARNING: {name}: {len(d)} days, "
+                        f"expected {expected_days}")
+        out[name] = (arr, d.index)
+    out["messages"] = msgs
+    return out
+
+
 def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int,
                             make_plot: bool = True):
     import numpy as np
@@ -49,30 +121,33 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
         masked = ds[var].where(mask.isel(region=0)).sel(
             lon=slice(minx, maxx), lat=slice(maxy, miny))
 
-    # QC: drop duplicate timestamps, check hour count vs leap year
-    # (reference cmorph.py:74-106)
-    _, unique_idx = np.unique(masked.time.values, return_index=True)
-    masked = masked.isel(time=np.sort(unique_idx))
-    is_leap = (year % 4 == 0 and year % 100 != 0) or (year % 400 == 0)
-    expected_hours = (366 if is_leap else 365) * 24
-    if masked.time.size != expected_hours:
-        print(f"[QC] {year}: have {masked.time.size} hourly steps, "
-              f"expected {expected_hours}")
+    # QC report (reference cmorph.py:74-106), then dedupe (an improvement over
+    # the reference, which only reports duplicates)
+    qc = qc_hourly_times(masked.time.values, year)
+    for m in qc["messages"]:
+        print(f"[QC] {year}: {m}")
+    if qc["time_range"]:
+        print(f"[QC] {year}: time range {qc['time_range'][0]} ~ "
+              f"{qc['time_range'][1]}")
+    if qc["n_duplicates"]:
+        _, unique_idx = np.unique(masked.time.values, return_index=True)
+        masked = masked.isel(time=np.sort(unique_idx))
 
-    # two accumulation systems (reference cmorph.py:108-114)
-    daily_hydro = masked.resample(time="1D").sum(min_count=24)
-    daily_cma = masked.shift(time=-12).resample(time="1D").sum(min_count=24)
+    # two accumulation systems + per-system day-count QC
+    # (reference cmorph.py:108-119) — pure numpy/pandas core
+    acc = daily_accumulations(np.asarray(masked.values), masked.time.values, year)
+    for m in acc.pop("messages"):
+        print(f"[QC] {year}: {m}")
 
     results = {}
-    for name, daily in (("hydro_08-08", daily_hydro), ("cma_20-20", daily_cma)):
-        arr = daily.values.astype(np.float32)
+    for name, (arr, dates) in acc.items():
         npy_path = os.path.join(out_dir, f"fenhe_{name}_{year}.npy")
         np.save(npy_path, arr)
         # per-cell CSV export (reference cmorph.py:121-141)
         flat = arr.reshape(arr.shape[0], -1)
         cols = [f"{float(la):.3f}_{float(lo):.3f}"
-                for la in daily.lat.values for lo in daily.lon.values]
-        pd.DataFrame(flat, index=daily.time.values, columns=cols).to_csv(
+                for la in masked.lat.values for lo in masked.lon.values]
+        pd.DataFrame(flat, index=dates, columns=cols).to_csv(
             os.path.join(out_dir, f"fenhe_{name}_{year}.csv"))
         results[name] = arr
         print(f"saved {npy_path} {arr.shape}")

@@ -16,26 +16,66 @@ import argparse
 import os
 
 
+def _trim(arr, factor: int):
+    """boundary='trim' coarsen prep: crop to multiples of `factor`, reshape to
+    (H', f, W', f) blocks (xarray coarsen semantics on a 2-D array)."""
+    h, w = arr.shape
+    hh, ww = (h // factor) * factor, (w // factor) * factor
+    return arr[:hh, :ww].reshape(hh // factor, factor, ww // factor, factor)
+
+
+def coarsen_dem(arr, factor: int = 33):
+    """DEM 30m -> 1km: invalid cells (>= 9000, e.g. nodata) set to 0, then
+    block MEAN with boundary-trim — exactly the reference math
+    (``dem_lucc_to_npy.py:24-27,46-47``: ``where(< 9000, 0)`` replaces with
+    ZERO, which participates in the mean — not a NaN-skip)."""
+    import numpy as np
+    a = np.where(np.asarray(arr, np.float64) < 9000, arr, 0.0)
+    out = _trim(a, factor).mean(axis=(1, 3)).astype(np.float32)
+    out[out > 9000] = 0  # reference's post-coarsen final cleanup (:46-47)
+    return out
+
+
+def coarsen_lucc(arr, factor: int = 33):
+    """LUCC 30m -> 1km: nodata (255) -> 0, then block MAX with boundary-trim
+    (reference ``dem_lucc_to_npy.py:36-39,53-55``)."""
+    import numpy as np
+    a = np.asarray(arr)
+    a = np.where(a == 255, 0, a)
+    out = _trim(a, factor).max(axis=(1, 3))
+    out = np.where(out == 255, 0, out)  # reference's final cleanup (:53-55)
+    return out.astype(np.int32)
+
+
+def coarsen_coords(vec, factor: int = 33):
+    """Coordinate vector for a trim-coarsened axis: block means of the source
+    coordinates (xarray coarsen coordinate handling)."""
+    import numpy as np
+    v = np.asarray(vec, np.float64)
+    n = (len(v) // factor) * factor
+    return v[:n].reshape(-1, factor).mean(axis=1)
+
+
 def convert_tif_to_npy(tif_path: str, out_prefix: str, kind: str,
                        coarsen: int = 33):
-    """kind: 'dem' (clean <9000, coarsen-mean) or 'lucc' (255->0, coarsen-max)."""
+    """kind: 'dem' (>=9000 -> 0, coarsen-mean) or 'lucc' (255 -> 0, coarsen-max).
+    The block math lives in the pure-numpy coarsen_* helpers (tested without
+    geo deps); this wrapper only does raster IO."""
     import numpy as np
     import rioxarray
 
     da = rioxarray.open_rasterio(tif_path, chunks={"x": 4096, "y": 4096}).squeeze()
+    raw = np.asarray(da.values)
     if kind == "dem":
-        da = da.where(da < 9000)                 # reference :20-27
-        coarse = da.coarsen(x=coarsen, y=coarsen, boundary="trim").mean()
+        arr = coarsen_dem(raw, coarsen)
     elif kind == "lucc":
-        da = da.where(da != 255, 0)              # reference :33-39
-        coarse = da.coarsen(x=coarsen, y=coarsen, boundary="trim").max()
+        arr = coarsen_lucc(raw, coarsen)
     else:
         raise ValueError(kind)
 
-    arr = coarse.values.astype(np.float32 if kind == "dem" else np.int32)
     np.save(out_prefix + ".npy", arr)
-    np.save(out_prefix + "_lon.npy", coarse.x.values)
-    np.save(out_prefix + "_lat.npy", coarse.y.values)
+    np.save(out_prefix + "_lon.npy", coarsen_coords(da.x.values, coarsen))
+    np.save(out_prefix + "_lat.npy", coarsen_coords(da.y.values, coarsen))
     print(f"saved {out_prefix}.npy {arr.shape}")
     return arr
 

@@ -114,3 +114,107 @@ def test_torch_checkpoint_roundtrip(tmp_path):
     out_a = model.apply(params, rain, dem, lu)
     out_b = model.apply(back, rain, dem, lu)
     np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=0)
+
+
+# ---------------------------------------------------------------------------
+# CMORPH accumulation math + QC (pure numpy/pandas cores; VERDICT.md item 6)
+# ---------------------------------------------------------------------------
+
+def test_qc_hourly_times_clean_year():
+    from pl_convlstm_gan_tpu.tools.cmorph import qc_hourly_times
+    times = pd.date_range("2020-01-01", periods=366 * 24, freq="h")  # leap
+    qc = qc_hourly_times(times, 2020)
+    assert qc["expected_hours"] == 8784 and qc["total_hours"] == 8784
+    assert qc["n_duplicates"] == 0 and qc["messages"] == []
+
+
+def test_qc_hourly_times_duplicates_and_missing():
+    from pl_convlstm_gan_tpu.tools.cmorph import qc_hourly_times
+    base = pd.date_range("2021-01-01", periods=100, freq="h")
+    times = base.append(base[:3])  # 3 duplicates, way under 8760
+    qc = qc_hourly_times(times, 2021)
+    assert qc["n_duplicates"] == 3
+    assert len(qc["duplicate_times"]) == 3
+    assert any("duplicate" in m for m in qc["messages"])
+    assert any("MISSING" in m for m in qc["messages"])
+    # surplus direction
+    big = pd.date_range("2021-01-01", periods=8761, freq="h")
+    qc2 = qc_hourly_times(big, 2021)
+    assert any("MORE" in m for m in qc2["messages"])
+
+
+def test_daily_accumulation_systems_hand_computed():
+    """Pin the 08-08 (UTC-day) vs 20-20 (shift -12h) math against hand sums
+    (reference cmorph.py:108-114 semantics)."""
+    from pl_convlstm_gan_tpu.tools.cmorph import daily_accumulations
+    days = 3
+    times = pd.date_range("2021-01-01", periods=days * 24, freq="h")
+    vals = np.arange(days * 24, dtype=np.float64).reshape(-1, 1, 1)
+    acc = daily_accumulations(vals, times, 2021)
+    msgs = acc.pop("messages")
+    assert any("expected 365" in m for m in msgs)  # short year is reported
+
+    hydro, hydro_dates = acc["hydro_08-08"]
+    cma, cma_dates = acc["cma_20-20"]
+    assert hydro.shape == (3, 1, 1) and cma.shape == (3, 1, 1)
+    # hydro day d = sum of hours [24d, 24(d+1))
+    for d in range(3):
+        assert hydro[d, 0, 0] == pytest.approx(sum(range(24 * d, 24 * (d + 1))))
+    # cma day d = sum of hours [24d+12, 24(d+1)+12); final day lacks 12 hours
+    for d in range(2):
+        assert cma[d, 0, 0] == pytest.approx(
+            sum(range(24 * d + 12, 24 * (d + 1) + 12)))
+    assert np.isnan(cma[2, 0, 0])
+    assert str(hydro_dates[0])[:10] == "2021-01-01"
+    assert len(cma_dates) == 3
+
+
+def test_daily_accumulation_min_count_and_mask():
+    """A day missing one hour is NaN (min_count=24); a basin-masked (all-NaN)
+    cell stays NaN in both systems."""
+    from pl_convlstm_gan_tpu.tools.cmorph import daily_accumulations
+    times = pd.date_range("2021-01-01", periods=48, freq="h").delete(5)
+    vals = np.ones((47, 1, 2), np.float64)
+    vals[:, 0, 1] = np.nan  # masked cell
+    acc = daily_accumulations(vals, times, 2021)
+    acc.pop("messages")
+    hydro, _ = acc["hydro_08-08"]
+    assert np.isnan(hydro[0, 0, 0])           # 23 hours only -> NaN
+    assert hydro[1, 0, 0] == pytest.approx(24)
+    assert np.isnan(hydro[:, 0, 1]).all()     # masked cell
+    cma, _ = acc["cma_20-20"]
+    assert np.isnan(cma[:, 0, 1]).all()
+
+
+# ---------------------------------------------------------------------------
+# DEM/LUCC coarsening math (pure numpy cores)
+# ---------------------------------------------------------------------------
+
+def test_coarsen_dem_zero_fill_and_trim():
+    """>=9000 values become ZERO and participate in the block mean (reference
+    where(<9000, 0) semantics — not a NaN skip); boundary='trim' drops the
+    ragged edge."""
+    from pl_convlstm_gan_tpu.tools.dem_lucc_to_npy import coarsen_dem
+    arr = np.array([[1., 2., 99.],
+                    [3., 9999., 99.],
+                    [99., 99., 99.]])
+    out = coarsen_dem(arr, factor=2)
+    assert out.shape == (1, 1)  # 3x3 trimmed to 2x2
+    assert out[0, 0] == pytest.approx((1 + 2 + 3 + 0) / 4)  # 9999 -> 0, in mean
+
+
+def test_coarsen_lucc_nodata_and_max():
+    from pl_convlstm_gan_tpu.tools.dem_lucc_to_npy import coarsen_lucc
+    arr = np.array([[255, 2, 7, 1],
+                    [3, 1, 255, 1],
+                    [4, 4, 1, 1],
+                    [4, 4, 1, 9]], dtype=np.uint8)
+    out = coarsen_lucc(arr, factor=2)
+    np.testing.assert_array_equal(out, [[3, 7], [4, 9]])
+    assert out.dtype == np.int32
+
+
+def test_coarsen_coords_block_means():
+    from pl_convlstm_gan_tpu.tools.dem_lucc_to_npy import coarsen_coords
+    v = np.arange(7, dtype=np.float64)
+    np.testing.assert_allclose(coarsen_coords(v, 3), [1.0, 4.0])
