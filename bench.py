@@ -65,27 +65,50 @@ def bench_jax(iters: int) -> dict:
         state, m = step(state, (inputs, targets), lr, tf, key)
         _ = float(m["total"])
 
+    # THROUGHPUT (headline): steady-state — a real training loop does NOT sync
+    # per step, so time CHAIN dependent steps with ONE final scalar fetch.
+    # Per-call host sync costs ~26 ms through the axon tunnel (measured in
+    # experiments/ablate_train_step.py); per-step timing would charge that
+    # dispatch tax to every step and under-report throughput by ~35%.
+    chain = max(2, iters)
+    chain_times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            state, m = step(state, (inputs, targets), lr, tf, key)
+        _ = float(m["total"])
+        chain_times.append((time.perf_counter() - t0) / chain)
+    p50 = float(np.median(chain_times))
+
+    # per-step sync mode kept for reference (what round-1 reported)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         state, m = step(state, (inputs, targets), lr, tf, key)
         _ = float(m["total"])
         times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times))
+    p50_sync = float(np.median(times))
 
-    # inference: p50 latency of a free-running 10-frame rollout
+    # inference p50 latency of a free-running 10-frame rollout: device-side
+    # latency via back-to-back calls (one fetch), host-observed incl. sync too
     infer = jax.jit(lambda p, x: model.apply(p, x))
     out = infer(state.params, inputs)
     _ = float(out[0, 0, 0, 0, 0])
-    itimes = []
+    itimes, itimes_sync = [], []
     for _ in range(iters):
+        t0 = time.perf_counter()
+        outs = [infer(state.params, inputs) for _ in range(chain)]
+        _ = float(outs[-1][0, 0, 0, 0, 0])
+        itimes.append((time.perf_counter() - t0) / chain)
         t0 = time.perf_counter()
         out = infer(state.params, inputs)
         _ = float(out[0, 0, 0, 0, 0])
-        itimes.append(time.perf_counter() - t0)
+        itimes_sync.append(time.perf_counter() - t0)
 
     return {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
+            "p50_step_sync_s": p50_sync,
             "p50_rollout_latency_s": float(np.median(itimes)),
+            "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
             "loss": float(m["total"])}
 
 
@@ -194,9 +217,13 @@ def main():
         "unit": "frames/sec/chip",
         "vs_baseline": round(jax_res["frames_per_sec"] / torch_fps, 2),
         "p50_step_s": round(jax_res["p50_step_s"], 4),
+        "p50_step_sync_s": round(jax_res["p50_step_sync_s"], 4),
         "p50_rollout_latency_s": round(jax_res["p50_rollout_latency_s"], 4),
+        "p50_rollout_latency_sync_s": round(
+            jax_res["p50_rollout_latency_sync_s"], 4),
         "baseline_p50_step_s": round(torch_p50, 4),
         "baseline": "equivalent PyTorch CPU train step (reference execution model)",
+        "timing": "steady-state (chained steps, one sync); *_sync_s = per-call",
     }
     print(json.dumps(result))
 

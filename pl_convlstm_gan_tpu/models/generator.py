@@ -31,7 +31,8 @@ import jax.numpy as jnp
 
 from ..ops.coords import add_coord_channels
 from ..ops.resize import resize_bilinear, resize_nearest
-from .layers import Conv2dTorch, ConvLSTMCell, GatedCovariateAttention, UpsampleBlock
+from .layers import (Conv2dTorch, ConvLSTMCell, GatedCovariateAttention,
+                     SplitInputConvLSTMCell, UpsampleBlock)
 
 
 class _RecurrentCore(nn.Module):
@@ -53,6 +54,51 @@ class _RecurrentCore(nn.Module):
             h, c = ConvLSTMCell(feat, self.kernel_size, impl=self.impl,
                                 dtype=self.dtype, param_dtype=self.param_dtype,
                                 name=f"cell{li + 1}")(x, h, c)
+            states[2 * li], states[2 * li + 1] = h, c
+            x = h
+        return tuple(states), x
+
+
+class _SplitRecurrentCore(nn.Module):
+    """Scan core with cell1's input-side conv hoisted out of the scan.
+
+    The Generator's inputs for ALL timesteps are known before the recurrence
+    (unlike the forecaster's decode), so cell1's x-contribution is one conv
+    over the merged (T*B) batch (``precompute``) and the scanned ``step`` only
+    does cell1's h-side conv + gates and the remaining stacked cells. Param
+    tree ("cell1", "cell2", ...) is identical to ``_RecurrentCore`` — the two
+    schedules are checkpoint-interchangeable."""
+    hidden_dims: Tuple[int, ...]
+    kernel_size: int
+    impl: str
+    dtype: Optional[jnp.dtype]
+    param_dtype: jnp.dtype
+
+    def setup(self):
+        hd = self.hidden_dims
+        self.cell1 = SplitInputConvLSTMCell(
+            hd[0], in_features=hd[0], kernel_size=self.kernel_size,
+            dtype=self.dtype, param_dtype=self.param_dtype)
+        others = []
+        for li in range(1, len(hd)):
+            setattr(self, f"cell{li + 1}",
+                    ConvLSTMCell(hd[li], self.kernel_size, impl=self.impl,
+                                 dtype=self.dtype,
+                                 param_dtype=self.param_dtype))
+            others.append(getattr(self, f"cell{li + 1}"))
+        self._others = tuple(others)
+
+    def precompute(self, x_merged):
+        """[T*B, H, W, hd0] -> cell1 x-side pre-activations [T*B, H, W, 4*hd0]."""
+        return self.cell1.precompute_x(x_merged)
+
+    def step(self, carry, zx_t):
+        states = list(carry)
+        h, c = self.cell1.step(zx_t, states[0], states[1])
+        states[0], states[1] = h, c
+        x = h
+        for li, cell in enumerate(self._others, start=1):
+            h, c = cell(x, states[2 * li], states[2 * li + 1])
             states[2 * li], states[2 * li + 1] = h, c
             x = h
         return tuple(states), x
@@ -97,6 +143,10 @@ class Generator(nn.Module):
     scale_factor: Optional[float] = None
     kernel_size: int = 3
     convlstm_impl: str = "xla"
+    # hoist cell1's x-side conv out of the scan as one merged-(T*B) conv (all
+    # inputs are known in advance for this model family); measured win on TPU
+    # -> see docs/design.md split-cell section. Same param tree either way.
+    split_precompute: bool = False
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -130,14 +180,26 @@ class Generator(nn.Module):
         # --- recurrence: lax.scan over time, carry = per-cell (h, c) at LR ---
         zeros = lambda ch: jnp.zeros((b, h, w, ch), cdtype)
         carry0 = tuple(z for f in hd for z in (zeros(f), zeros(f)))
-        core = nn.scan(_RecurrentCore,
-                       variable_broadcast="params",
-                       split_rngs={"params": False},
-                       in_axes=0, out_axes=0)(
-            hidden_dims=hd, kernel_size=self.kernel_size,
-            impl=self.convlstm_impl, dtype=cdtype, param_dtype=self.param_dtype,
-            name="recurrence")
-        _, top_seq = core(carry0, x)                           # [T, B, H, W, hd-1]
+        if self.split_precompute:
+            core = _SplitRecurrentCore(
+                hidden_dims=hd, kernel_size=self.kernel_size,
+                impl=self.convlstm_impl, dtype=cdtype,
+                param_dtype=self.param_dtype, name="recurrence")
+            zx = core.precompute(xm).reshape(t, b, h, w, 4 * hd[0])
+            scan_step = nn.scan(_SplitRecurrentCore.step,
+                                variable_broadcast="params",
+                                split_rngs={"params": False},
+                                in_axes=0, out_axes=0)
+            _, top_seq = scan_step(core, carry0, zx)           # [T, B, H, W, hd-1]
+        else:
+            core = nn.scan(_RecurrentCore,
+                           variable_broadcast="params",
+                           split_rngs={"params": False},
+                           in_axes=0, out_axes=0)(
+                hidden_dims=hd, kernel_size=self.kernel_size,
+                impl=self.convlstm_impl, dtype=cdtype,
+                param_dtype=self.param_dtype, name="recurrence")
+            _, top_seq = core(carry0, x)                       # [T, B, H, W, hd-1]
 
         # --- decode ONCE over merged (T*B): upsample -> attention -> head ---
         feat = top_seq.reshape(t * b, h, w, hd[-1])

@@ -11,7 +11,8 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from ..ops.convlstm import ConvLSTMParams, convlstm_step
+from ..ops.convlstm import (ConvLSTMParams, convlstm_precompute_x,
+                            convlstm_step, convlstm_step_precomputed)
 from ..ops.nn import conv2d, torch_bias_init, torch_kernel_init
 from ..ops.pixel_shuffle import pixel_shuffle
 
@@ -65,6 +66,46 @@ class ConvLSTMCell(nn.Module):
         params = ConvLSTMParams(kernel.astype(dtype), bias.astype(dtype))
         return convlstm_step(params, x.astype(dtype), h.astype(dtype),
                              c.astype(dtype), impl=self.impl)
+
+
+class SplitInputConvLSTMCell(nn.Module):
+    """ConvLSTM cell with the input-side conv split out for pre-scan batching.
+
+    Parameter layout, names, and init are IDENTICAL to ``ConvLSTMCell`` (one
+    fused kernel [K, K, Cin+Ch, 4Ch] + bias), so checkpoints and the torch
+    parity mapping are interchangeable; only the execution schedule differs:
+    ``precompute_x`` runs once over all timesteps merged (T*B) OUTSIDE the
+    scan, and ``step`` does just the h-side conv + gates inside it."""
+    features: int
+    in_features: int
+    kernel_size: int = 3
+    dtype: Optional[jnp.dtype] = None
+    param_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cin = self.in_features + self.features
+        k = self.kernel_size
+        self.kernel = self.param("kernel", torch_kernel_init,
+                                 (k, k, cin, 4 * self.features),
+                                 self.param_dtype)
+        self.bias = self.param("bias", torch_bias_init(k * k * cin),
+                               (4 * self.features,), self.param_dtype)
+
+    def _params(self, dtype):
+        return ConvLSTMParams(self.kernel.astype(dtype),
+                              self.bias.astype(dtype))
+
+    def precompute_x(self, x):
+        """[N, H, W, in_features] -> x-side pre-activations [N, H, W, 4*Ch]."""
+        dtype = self.dtype or x.dtype
+        return convlstm_precompute_x(self._params(dtype), x.astype(dtype),
+                                     self.in_features)
+
+    def step(self, z_x, h, c):
+        dtype = self.dtype or z_x.dtype
+        return convlstm_step_precomputed(self._params(dtype),
+                                         z_x.astype(dtype), h.astype(dtype),
+                                         c.astype(dtype), self.in_features)
 
 
 class UpsampleBlock(nn.Module):

@@ -61,3 +61,26 @@ def convlstm_step(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
         from .pallas.convlstm_kernel import convlstm_step_pallas
         return convlstm_step_pallas(params, x, h, c)
     return convlstm_step_xla(params, x, h, c)
+
+
+# --------------------------------------------------------------------------
+# split-input cell: conv(concat(x, h)) == conv_x(x) + conv_h(h) by linearity.
+# When ALL timestep inputs are known before the recurrence (the Generator's
+# encode — reference generator.py:164-171 recomputes the x-side conv inside
+# its Python time loop), the x-side contribution for every step can be
+# computed as ONE conv over the merged (T*B) batch: bigger contraction for
+# the MXU, and the scan body shrinks to the h-side conv + gates.
+# --------------------------------------------------------------------------
+
+def convlstm_precompute_x(params: ConvLSTMParams, x: jnp.ndarray, cin_x: int):
+    """x-side pre-activations for any batch of inputs. x: [N, H, W, cin_x]
+    (N may be T*B merged); returns z_x: [N, H, W, 4*Ch]. Bias is folded in
+    here so the in-scan step is bias-free."""
+    return conv2d(x, params.kernel[:, :, :cin_x], params.bias, padding="SAME")
+
+
+def convlstm_step_precomputed(params: ConvLSTMParams, z_x: jnp.ndarray,
+                              h: jnp.ndarray, c: jnp.ndarray, cin_x: int):
+    """One step given precomputed x-side pre-activations (see above)."""
+    z = z_x + conv2d(h, params.kernel[:, :, cin_x:], None, padding="SAME")
+    return convlstm_gates(z, c)

@@ -189,3 +189,29 @@ def test_generator_three_cells(rng):
     assert "cell3" in params["params"]["recurrence"]
     out = model.apply(params, rain, dem, lu)
     assert out.shape == (1, 2, 1, 16, 16)
+
+
+def test_generator_split_precompute_equivalent(rng):
+    """split_precompute=True (cell1 x-side conv hoisted out of the scan as one
+    merged (T*B) conv) must be numerically equivalent on the SAME params, with
+    an identical param tree (checkpoint-interchangeable schedules)."""
+    b, t, h, w, lu_c = 2, 3, 8, 8, 4
+    rain = jnp.asarray(rng.standard_normal((b, t, 1, h, w), dtype=np.float32))
+    dem = jnp.asarray(rng.standard_normal((b, 1, h, w), dtype=np.float32))
+    lu = jnp.asarray(rng.standard_normal((b, lu_c, h, w), dtype=np.float32))
+
+    g0 = Generator(hidden_dims=(8, 8, 16), lu_channels=lu_c, scale_factor=2)
+    g1 = Generator(hidden_dims=(8, 8, 16), lu_channels=lu_c, scale_factor=2,
+                   split_precompute=True)
+    p0 = g0.init(jax.random.PRNGKey(0), rain, dem, lu)
+    p1 = g1.init(jax.random.PRNGKey(0), rain, dem, lu)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    o0 = g0.apply(p0, rain, dem, lu)
+    o1 = g1.apply(p0, rain, dem, lu)   # same params, split schedule
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=1e-5)
+
+    # gradients flow through the split schedule
+    g = jax.grad(lambda p: jnp.square(g1.apply(p, rain, dem, lu)).mean())(p0)
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(g))
