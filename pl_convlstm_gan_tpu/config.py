@@ -214,5 +214,10 @@ def load_config(config_name: str = "default") -> Config:
     path = os.path.join(config_dir(), f"{config_name}.yaml")
     if not os.path.exists(path):
         env_config = os.getenv("CONFIG_NAME", "default")
-        path = os.path.join(config_dir(), f"{env_config}.yaml")
+        fallback = os.path.join(config_dir(), f"{env_config}.yaml")
+        # reference semantics (src/config.py:122-132) fall back silently; warn
+        # loudly so a typo'd --config doesn't burn a training run unnoticed
+        print(f"WARNING: config '{config_name}' not found at {path}; "
+              f"falling back to '{env_config}'")
+        path = fallback
     return Config.from_yaml(path)

@@ -69,6 +69,7 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
             continue
         row = {"station": st_id, "lon": lon, "lat": lat}
         series_for_plot = {}
+        rmses = {}
         for name, (times, lats, lons, vals) in systems.items():
             cell = nearest_cell(lats, lons, lat, lon)
             sat = vals[:, cell]
@@ -76,6 +77,11 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
             m = compute_metrics(obs[:ncmp], sat[:ncmp])
             row.update({f"{name}_{k}": v for k, v in m.items()})
             series_for_plot[name] = sat[:ncmp]
+            if not np.isnan(m["rmse"]):
+                rmses[name] = m["rmse"]
+        # lowest-RMSE system per station (reference :177-179 'better_system';
+        # generalized from two fixed systems to N)
+        row["better_system"] = min(rmses, key=rmses.get) if rmses else None
         rows.append(row)
         if make_plots:
             _station_plot(st_id, obs, series_for_plot, out_dir)
@@ -84,6 +90,13 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
     out_csv = os.path.join(out_dir, "station_comparison_summary.csv")
     summary.to_csv(out_csv, index=False)
     print(f"saved {out_csv} ({len(summary)} stations)")
+    # console overview like the reference (:238-249): station, per-system
+    # rmse/corr, winning system
+    if len(summary):
+        cols = (["station"]
+                + [f"{n}_{k}" for n in systems for k in ("rmse", "corr")]
+                + ["better_system"])
+        print(summary[cols].to_string(index=False))
     return summary
 
 

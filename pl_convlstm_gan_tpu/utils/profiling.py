@@ -52,6 +52,33 @@ def benchmark_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10,
             "min": float(np.min(times))}
 
 
+def benchmark_chained(step_fn: Callable, state, fetch: Callable,
+                      chain: int = 10, iters: int = 10,
+                      warmup: int = 1) -> Dict[str, float]:
+    """Steady-state benchmark of a state-carrying step: CHAIN dependent calls,
+    ONE sync (via `fetch(state)`), per-call = total/chain.
+
+    Per-jitted-call dispatch+sync through the axon tunnel costs ~26 ms
+    (experiments/ablate_train_step.py) — per-call timing charges that to every
+    step and under-reports training throughput by ~35% at bench shapes; a real
+    training loop syncs once per log interval, which this models.
+
+    `step_fn(state) -> state` must donate/consume its input state.
+    Returns {p50, mean, min} seconds per step plus the final state."""
+    for _ in range(warmup):
+        state = step_fn(state)
+    fetch(state)
+    times = []
+    for _ in range(iters):
+        start = time.perf_counter()
+        for _ in range(chain):
+            state = step_fn(state)
+        fetch(state)
+        times.append((time.perf_counter() - start) / chain)
+    return {"p50": float(np.median(times)), "mean": float(np.mean(times)),
+            "min": float(np.min(times)), "state": state}
+
+
 @contextlib.contextmanager
 def profile_trace(logdir: str):
     """jax.profiler trace context (view with TensorBoard/Perfetto)."""

@@ -73,12 +73,19 @@ def test_compare_systems_end_to_end(tmp_path):
     times2, lats, lons, vals = load_satellite_csv(str(tmp_path / "sat.csv"))
     assert vals.shape == (20, 2) and list(lats) == [36.0, 37.0]
 
-    summary = compare_systems({"hydro": str(tmp_path / "sat.csv")},
+    # second system: obs + small noise -> must win better_system at both stations
+    sat2 = sat * 0.1
+    sat2.to_csv(tmp_path / "sat2.csv")
+    summary = compare_systems({"hydro": str(tmp_path / "sat.csv"),
+                               "cma": str(tmp_path / "sat2.csv")},
                               str(tmp_path / "meta.csv"),
                               str(tmp_path / "rain.csv"), 2012, 2012,
                               str(tmp_path / "cmp"), make_plots=False)
     assert len(summary) == 2
     assert "hydro_rmse" in summary.columns
+    # reference summary surface (:177-179, :238-249): per-station winner column
+    assert "better_system" in summary.columns
+    assert set(summary["better_system"]) <= {"hydro", "cma"}
     assert (tmp_path / "cmp" / "station_comparison_summary.csv").exists()
 
 

@@ -42,3 +42,17 @@ def test_make_mesh_too_many_devices():
     import pytest
     with pytest.raises(ValueError):
         make_mesh(1000)
+
+
+def test_benchmark_chained():
+    """Chained steady-state timing: runs chain*iters dependent steps and
+    returns the final state."""
+    import jax.numpy as jnp
+    from pl_convlstm_gan_tpu.utils import benchmark_chained
+    import jax
+
+    step = jax.jit(lambda s: s + 1.0)
+    res = benchmark_chained(step, jnp.zeros(()), fetch=float, chain=3, iters=2,
+                            warmup=1)
+    assert res["p50"] > 0 and res["min"] <= res["mean"]
+    assert float(res["state"]) == 7.0  # 1 warmup + 2*3 chained
