@@ -44,8 +44,13 @@ def _ssim_map(pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
     win = jnp.asarray(_gaussian_kernel(window_size, sigma))
     mu_p = _blur(p, win)
     mu_t = _blur(t, win)
-    mu_pp = _blur(p * p, win) - mu_p * mu_p
-    mu_tt = _blur(t * t, win) - mu_t * mu_t
+    # E[X^2] - E[X]^2 cancels catastrophically in f32 when the signal carries a
+    # large offset (|x| ~ 3e2 -> error ~1e-2 >> c2), which can drive the true
+    # ~0 variance negative and the denominator through zero (observed as
+    # ssim=inf on early-training GAN rollouts). Variance is nonnegative by
+    # definition — clamp it, keeping den >= c1*c2 > 0 always.
+    mu_pp = jnp.maximum(_blur(p * p, win) - mu_p * mu_p, 0.0)
+    mu_tt = jnp.maximum(_blur(t * t, win) - mu_t * mu_t, 0.0)
     mu_pt = _blur(p * t, win) - mu_p * mu_t
 
     c1 = (k1 * data_range) ** 2

@@ -228,3 +228,20 @@ def test_discriminator_label_smoothing():
     smoothed, _ = discriminator_loss(logits, -logits, label_smoothing=0.1)
     # smoothing penalizes overconfident real predictions -> higher loss here
     assert float(smoothed) > float(plain)
+
+
+def test_ssim_finite_with_large_offsets():
+    """Large-offset near-constant signals must not drive SSIM to inf via
+    negative computed variance (f32 cancellation in E[X^2]-E[X]^2; observed as
+    val_ssim=inf on an early-training 256px GAN rollout)."""
+    from pl_convlstm_gan_tpu.losses import ssim_per_sample
+    x = jnp.full((2, 3, 1, 64, 64), 350.0, jnp.float32)
+    val = ssim(x, x)
+    assert np.isfinite(float(val))
+    assert float(val) == pytest.approx(1.0, abs=1e-3)
+    # mild noise around the big offset: finite, in [-1, 1]-ish range
+    y = x + jnp.asarray(
+        np.random.default_rng(0).standard_normal(x.shape).astype(np.float32))
+    v2 = ssim_per_sample(x, y)
+    assert np.isfinite(np.asarray(v2)).all()
+    assert (np.abs(np.asarray(v2)) <= 1.5).all()
