@@ -39,14 +39,22 @@ class CheckpointWriter:
         the atomic promotion to `path` happen in the background / on the next
         checkpoint operation. Mirrors the reference's bundle (trainer.py:402-417)
         without its epoch-loop stall."""
+        import jax
         path = os.path.abspath(path)
         self.wait()  # finalize any previous save first
         tmp = path + ".pending"
-        if os.path.exists(tmp):
-            shutil.rmtree(tmp)
-        os.makedirs(tmp, exist_ok=True)
-        with open(os.path.join(tmp, "host_state.json"), "w") as f:
-            json.dump(host_state, f)
+        first = jax.process_count() == 1 or jax.process_index() == 0
+        if first:
+            # process 0 owns host-side filesystem mutations (shared-FS safe);
+            # host_state is identical on every host (replicated metrics)
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp, exist_ok=True)
+            with open(os.path.join(tmp, "host_state.json"), "w") as f:
+                json.dump(host_state, f)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_tmp_ready")
         self._ckptr.save(os.path.join(tmp, "state"), device_state)
         self._pending = (tmp, path)
 
@@ -57,17 +65,29 @@ class CheckpointWriter:
         tmp, path = self._pending
         self._pending = None
         self._ckptr.wait_until_finished()
-        # promote: rename old aside, move pending in, drop old. The
-        # non-atomic window is two renames — the previous checkpoint is never
-        # deleted before the new one is complete on disk.
-        old = path + ".old"
-        if os.path.exists(old):
-            shutil.rmtree(old)
-        if os.path.exists(path):
-            os.replace(path, old)
-        os.replace(tmp, path)
-        if os.path.exists(old):
-            shutil.rmtree(old)
+        import jax
+        multihost = jax.process_count() > 1
+        if multihost:
+            # all hosts reach here with their shards flushed before any
+            # filesystem promotion happens
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_promote_pre")
+        if not multihost or jax.process_index() == 0:
+            # promote: rename old aside, move pending in, drop old. The
+            # non-atomic window is two renames — the previous checkpoint is
+            # never deleted before the new one is complete on disk. On a
+            # multi-host shared filesystem only process 0 touches the paths.
+            old = path + ".old"
+            if os.path.exists(old):
+                shutil.rmtree(old)
+            if os.path.exists(path):
+                os.replace(path, old)
+            os.replace(tmp, path)
+            if os.path.exists(old):
+                shutil.rmtree(old)
+        if multihost:
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("ckpt_promote_post")
 
     def close(self) -> None:
         self.wait()

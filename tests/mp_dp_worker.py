@@ -94,4 +94,24 @@ ref = aggregate_sequence_eval([
 for k in got:
     np.testing.assert_allclose(got[k], ref[k], rtol=1e-5, err_msg=k)
 print(f"PROC {pid}: host-aware eval OK (l1 {got['l1']:.5f})", flush=True)
+
+# --- 4. multi-host async checkpoint save + restore round-trip ---------------
+import tempfile  # noqa: E402
+
+from pl_convlstm_gan_tpu.train import CheckpointWriter, restore_checkpoint  # noqa: E402
+
+ckpt_dir = os.path.join(tempfile.gettempdir(), f"mp_ckpt_{port}")
+w = CheckpointWriter()
+dev = {"params": state.params, "opt_state": state.opt_state,
+       "step": state.step}
+w.save(ckpt_dir, dev, {"epoch": 3, "metric": 0.5})
+w.save(ckpt_dir, dev, {"epoch": 4, "metric": 0.4})  # overwrite while in flight
+w.wait()
+assert os.path.isdir(ckpt_dir) and not os.path.exists(ckpt_dir + ".pending")
+restored, host = restore_checkpoint(ckpt_dir, dev)
+assert host["epoch"] == 4
+for a, bb in zip(jax.tree_util.tree_leaves(state.params),
+                 jax.tree_util.tree_leaves(restored["params"])):
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bb))
+print(f"PROC {pid}: multi-host async checkpoint OK", flush=True)
 print(f"PROC {pid}: ALL OK", flush=True)
