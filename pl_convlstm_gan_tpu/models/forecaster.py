@@ -63,6 +63,7 @@ class ConvLSTMForecaster(nn.Module):
     kernel_size: int = 3
     convlstm_impl: str = "xla"
     remat: bool = False   # rematerialize the scan body: O(1) activation memory in T
+    scan_unroll: int = 1  # lax.scan unroll factor (cross-step fusion headroom)
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -113,7 +114,8 @@ class ConvLSTMForecaster(nn.Module):
         core = nn.scan(body,
                        variable_broadcast="params",
                        split_rngs={"params": False},
-                       in_axes=0, out_axes=0)(
+                       in_axes=0, out_axes=0,
+                       unroll=self.scan_unroll)(
             hidden_dims=tuple(self.hidden_dims), out_channels=c,
             kernel_size=self.kernel_size, impl=self.convlstm_impl,
             dtype=cdtype, param_dtype=self.param_dtype, name="core")
