@@ -215,3 +215,15 @@ def test_generator_split_precompute_equivalent(rng):
     g = jax.grad(lambda p: jnp.square(g1.apply(p, rain, dem, lu)).mean())(p0)
     assert all(np.isfinite(np.asarray(x)).all()
                for x in jax.tree_util.tree_leaves(g))
+
+
+def test_forecaster_scan_unroll_equivalent(rng):
+    """scan_unroll only changes the compiled loop structure, never the math."""
+    frames = jnp.asarray(rng.standard_normal((1, 3, 1, 8, 8), dtype=np.float32))
+    m1 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4)
+    m2 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4,
+                            scan_unroll=2)
+    params = m1.init(jax.random.PRNGKey(0), frames)
+    o1 = m1.apply(params, frames)
+    o2 = m2.apply(params, frames)
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
