@@ -25,12 +25,22 @@ def main():
     parser = argparse.ArgumentParser(description="pl-convlstm-gan-tpu training")
     parser.add_argument("--config", type=str, default="default",
                         help="Configuration name (configs/<name>.yaml)")
-    parser.add_argument("--mode", choices=("train", "eval"), default="train",
-                        help="train, or eval: restore a checkpoint and report "
-                             "test-split metrics (an entry the reference lacks)")
+    parser.add_argument("--mode", choices=("train", "eval", "predict"),
+                        default="train",
+                        help="train; eval: restore a checkpoint and report "
+                             "test-split metrics; predict: restore and write "
+                             "model outputs for an input .npy "
+                             "(entries the reference lacks)")
     parser.add_argument("--checkpoint", type=str, default=None,
-                        help="checkpoint dir for --mode eval "
+                        help="checkpoint dir for --mode eval/predict "
                              "(default: <output_dir>/best_model)")
+    parser.add_argument("--input", type=str, default=None,
+                        help="predict mode: input .npy — frames "
+                             "[B,T_in,C,H,W] for forecaster/gan; for the "
+                             "generator, an .npz with rain_lr/dem/lu arrays")
+    parser.add_argument("--output", type=str, default=None,
+                        help="predict mode: output .npy path "
+                             "(default: <output_dir>/predictions.npy)")
     args = parser.parse_args()
 
     config = load_config(args.config)
@@ -55,6 +65,26 @@ def main():
         trainer.restore(ckpt)
         metrics = trainer.evaluate_test()
         print(f"Test metrics: {metrics}")
+    elif args.mode == "predict":
+        import numpy as np
+        from pl_convlstm_gan_tpu.predict import load_predictor
+        if not args.input:
+            raise SystemExit("--mode predict requires --input")
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "predictions.npy")
+        if args.input.endswith(".npz"):
+            data = np.load(args.input)
+            predict = load_predictor(config, ckpt,
+                                     lu_channels=data["lu"].shape[1])
+            pred = predict(data["rain_lr"], data["dem"], data["lu"])
+        else:
+            frames = np.load(args.input)
+            predict = load_predictor(config, ckpt)
+            pred = predict(frames)
+        np.save(out_path, np.asarray(pred))
+        print(f"Predictions {np.asarray(pred).shape} saved to {out_path}")
     else:
         trainer.train()
 

@@ -38,3 +38,24 @@ def test_unknown_config_falls_back_to_default(monkeypatch):
     from pl_convlstm_gan_tpu.config import load_config
     cfg = load_config("nope_does_not_exist")
     assert cfg.model.family == "generator"   # default.yaml loaded
+
+
+def test_cli_predict_mode(tmp_path):
+    """predict mode: restore a trained checkpoint and write predictions.npy
+    for a raw input array (deployment entry the reference lacks)."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    frames = np.random.default_rng(0).random((2, 2, 1, 16, 16)).astype(np.float32)
+    np.save(tmp_path / "in.npy", frames)
+    _run_main(["--config", "ci_smoke_seq", "--mode", "predict",
+               "--input", str(tmp_path / "in.npy"),
+               "--output", str(tmp_path / "out.npy")], str(tmp_path))
+    pred = np.load(tmp_path / "out.npy")
+    assert pred.shape == (2, 3, 1, 16, 16)
+    assert np.isfinite(pred).all()
+
+
+def test_cli_predict_requires_input(tmp_path):
+    with pytest.raises(SystemExit):
+        _run_main(["--config", "ci_smoke_seq", "--mode", "predict"],
+                  str(tmp_path))
