@@ -59,3 +59,19 @@ def test_cli_predict_requires_input(tmp_path):
     with pytest.raises(SystemExit):
         _run_main(["--config", "ci_smoke_seq", "--mode", "predict"],
                   str(tmp_path))
+
+
+def test_cli_predict_generator_npz(tmp_path):
+    """Generator-family predict: .npz with rain_lr/dem/lu arrays."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke"], str(tmp_path))
+    rng = np.random.default_rng(0)
+    np.savez(tmp_path / "in.npz",
+             rain_lr=rng.random((1, 3, 1, 8, 8)).astype(np.float32),
+             dem=rng.random((1, 1, 8, 8)).astype(np.float32),
+             lu=rng.random((1, 5, 8, 8)).astype(np.float32))  # 5 synthetic LU classes
+    _run_main(["--config", "ci_smoke", "--mode", "predict",
+               "--input", str(tmp_path / "in.npz"),
+               "--output", str(tmp_path / "out.npy")], str(tmp_path))
+    pred = np.load(tmp_path / "out.npy")
+    assert pred.shape == (1, 3, 1, 16, 16)
