@@ -29,13 +29,17 @@ class DataConfig:
     start_year: int = 2012
     end_year: int = 2021
     # TPU-build extensions
-    source: str = "fenhe"          # "fenhe" | "synthetic"
+    source: str = "fenhe"          # "fenhe" | "synthetic" | "frames"
     synthetic_num_sequences: int = 256
     synthetic_image_size: int = 64
     synthetic_num_stations: int = 16
     seed: int = 0
     loader: str = "plain"          # "plain" | "grain"
     worker_count: int = 0          # grain multiprocess workers (0 = in-process)
+    # source="frames": on-disk .npy/.npz frame stacks for the sequence families
+    frames_path: str = ""
+    frames_stride: int = 0         # movie layout only; 0 = non-overlapping
+    frames_scale: float = 1.0      # multiplicative normalization on load
 
 
 @dataclass

@@ -67,10 +67,20 @@ class SequenceTrainer:
     def setup_data(self):
         dc = self.config.data
         mc = self.config.model
-        full = SyntheticSequenceDataset(
-            num_sequences=dc.synthetic_num_sequences,
-            input_frames=mc.input_frames, output_frames=mc.output_frames,
-            image_size=dc.synthetic_image_size, seed=dc.seed)
+        if dc.source == "frames":
+            from ..data.frames import NpyFramesDataset
+            full = NpyFramesDataset(
+                dc.frames_path, input_frames=mc.input_frames,
+                output_frames=mc.output_frames,
+                stride=dc.frames_stride or None, scale=dc.frames_scale)
+            print(f"Frames dataset: {len(full)} sequences from "
+                  f"{dc.frames_path}")
+        else:
+            full = SyntheticSequenceDataset(
+                num_sequences=dc.synthetic_num_sequences,
+                input_frames=mc.input_frames, output_frames=mc.output_frames,
+                image_size=dc.synthetic_image_size, seed=dc.seed)
+        self._full_dataset = full
         if self.config.training.use_split:
             self.train_dataset, self.val_dataset, self.test_dataset = \
                 split_dataset_random(full, seed=dc.seed)
@@ -109,8 +119,15 @@ class SequenceTrainer:
             remat=mc.remat, dtype=dtype)
 
         b = tc.batch_size
-        h = self.config.data.synthetic_image_size
-        sample_in = jnp.zeros((b, mc.input_frames, mc.in_channels, h, h))
+        ds = dataset or getattr(self, "_full_dataset", None)
+        if ds is not None:
+            # derive the frame geometry from the actual data (frames source
+            # has no synthetic_image_size)
+            in_shape = np.asarray(ds[0][0]).shape          # [T_in, C, H, W]
+            sample_in = jnp.zeros((b, *in_shape))
+        else:
+            h = self.config.data.synthetic_image_size
+            sample_in = jnp.zeros((b, mc.input_frames, mc.in_channels, h, h))
         params = self.model.init(jax.random.PRNGKey(tc.seed), sample_in)
         self.tx = make_optimizer(tc.grad_clip_norm)
 
@@ -120,7 +137,11 @@ class SequenceTrainer:
 
         if self.is_gan:
             self.disc = Discriminator(features=tuple(mc.disc_features), dtype=dtype)
-            sample_tgt = jnp.zeros((b, mc.output_frames, mc.in_channels, h, h))
+            if ds is not None:
+                sample_tgt = jnp.zeros((b, *np.asarray(ds[0][1]).shape))
+            else:
+                sample_tgt = jnp.zeros((b, mc.output_frames, mc.in_channels,
+                                        h, h))
             dparams = self.disc.init(jax.random.PRNGKey(tc.seed + 1), sample_tgt)
             self.disc_tx = make_optimizer(tc.grad_clip_norm)
             self.disc_lr = tc.disc_learning_rate or tc.learning_rate

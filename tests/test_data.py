@@ -205,3 +205,62 @@ def test_eval_batches_wrap_padding():
     last, n_valid = batches[-1]
     inp0, _ = ds[0]
     np.testing.assert_array_equal(last[0][n_valid], inp0)
+
+
+def test_npy_frames_dataset_layouts(tmp_path):
+    """On-disk frame stacks for the sequence families: [N,T,H,W], [N,T,C,H,W],
+    and single-movie [T,H,W] with stride windows."""
+    from pl_convlstm_gan_tpu.data import NpyFramesDataset
+    rng = np.random.default_rng(0)
+
+    seqs = rng.random((6, 7, 8, 8)).astype(np.float32)
+    np.save(tmp_path / "seqs.npy", seqs)
+    ds = NpyFramesDataset(str(tmp_path / "seqs.npy"), 3, 4)
+    assert len(ds) == 6
+    x, y = ds[2]
+    assert x.shape == (3, 1, 8, 8) and y.shape == (4, 1, 8, 8)
+    np.testing.assert_array_equal(x[:, 0], seqs[2, :3])
+    np.testing.assert_array_equal(y[:, 0], seqs[2, 3:7])
+
+    seqs5 = rng.random((4, 6, 2, 8, 8)).astype(np.float32)
+    np.save(tmp_path / "seqs5.npy", seqs5)
+    ds5 = NpyFramesDataset(str(tmp_path / "seqs5.npy"), 2, 3)
+    x, y = ds5[1]
+    assert x.shape == (2, 2, 8, 8) and y.shape == (3, 2, 8, 8)
+
+    movie = rng.random((20, 8, 8)).astype(np.float32)
+    np.save(tmp_path / "movie.npy", movie)
+    dm = NpyFramesDataset(str(tmp_path / "movie.npy"), 2, 3, stride=5)
+    assert len(dm) == 4  # (20 - 5) // 5 + 1
+    x, y = dm[1]
+    np.testing.assert_array_equal(x[:, 0], movie[5:7])
+    np.testing.assert_array_equal(y[:, 0], movie[7:10])
+
+    # scale normalization + npz
+    np.savez(tmp_path / "f.npz", frames=seqs)
+    dz = NpyFramesDataset(str(tmp_path / "f.npz"), 3, 4, scale=0.5)
+    x, _ = dz[0]
+    np.testing.assert_allclose(x[:, 0], seqs[0, :3] * 0.5, rtol=1e-6)
+
+    with pytest.raises(ValueError):
+        NpyFramesDataset(str(tmp_path / "seqs.npy"), 5, 5)  # too short
+
+
+def test_sequence_trainer_frames_source(tmp_path):
+    """SequenceTrainer end-to-end on an on-disk frame stack (source=frames)."""
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.train import SequenceTrainer
+    rng = np.random.default_rng(1)
+    np.save(tmp_path / "frames.npy", rng.random((48, 5, 12, 12)).astype(np.float32))
+    cfg = Config.from_dict({
+        "data": {"source": "frames", "frames_path": str(tmp_path / "frames.npy")},
+        "model": {"family": "forecaster", "hidden_dims": [8],
+                  "input_frames": 2, "output_frames": 3},
+        "training": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                     "use_split": True, "use_early_stopping": False},
+        "output": {"output_dir": str(tmp_path / "out"), "log_interval": 100},
+    })
+    t = SequenceTrainer(config=cfg)
+    history = t.train()
+    assert len(history["epoch"]) == 1
+    assert np.isfinite(history["total_loss"][0])
