@@ -22,15 +22,21 @@ from .models import ConvLSTMForecaster, Generator
 from .train.checkpoint import restore_checkpoint
 
 
-def build_model(config: Config, lu_channels: int = 0):
-    """Construct the (uninitialized) flax module described by a config."""
+def build_model(config: Config, lu_channels: int = 0,
+                output_frames: int = 0):
+    """Construct the (uninitialized) flax module described by a config.
+
+    `output_frames` overrides the rollout horizon for the sequence families:
+    the scan broadcasts parameters over time, so a checkpoint trained at one
+    horizon drives any other at inference (e.g. train 10-out, serve 30-out)."""
     mc = config.model
     dtype = jnp.bfloat16 if config.precision.compute_dtype == "bfloat16" else None
     impl = "xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl
     if mc.family in ("forecaster", "gan"):
         return ConvLSTMForecaster(
             hidden_dims=tuple(mc.hidden_dims), input_frames=mc.input_frames,
-            output_frames=mc.output_frames, in_channels=mc.in_channels,
+            output_frames=output_frames or mc.output_frames,
+            in_channels=mc.in_channels,
             kernel_size=mc.kernel_size, convlstm_impl=impl, remat=mc.remat,
             dtype=dtype)
     kwargs = dict(in_channels=mc.in_channels, dem_channels=mc.dem_channels,
@@ -45,12 +51,14 @@ def build_model(config: Config, lu_channels: int = 0):
 
 
 def load_predictor(config: Config, checkpoint_path: str,
-                   lu_channels: int = 0) -> Callable:
+                   lu_channels: int = 0, output_frames: int = 0) -> Callable:
     """Restore params from `checkpoint_path` and return a jitted predict fn.
 
     Generator family: predict(rain_lr [B,T,1,H,W], dem, lu) -> [B,T,1,H',W'].
-    Forecaster/GAN:   predict(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W]."""
-    model = build_model(config, lu_channels)
+    Forecaster/GAN:   predict(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W];
+    `output_frames` serves a different rollout horizon than the checkpoint was
+    trained at (recurrent params are horizon-independent)."""
+    model = build_model(config, lu_channels, output_frames)
     device_state, _ = restore_checkpoint(checkpoint_path)
     params = device_state.get("params", device_state.get("gen_params"))
     if params is None:

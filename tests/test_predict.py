@@ -29,6 +29,15 @@ def test_predictor_forecaster_roundtrip(tmp_path, rng):
     expect = t.model.apply(t.state.params, frames)
     np.testing.assert_allclose(np.asarray(out), np.asarray(expect), atol=1e-5)
 
+    # serve a LONGER horizon than trained (recurrent params are
+    # horizon-independent); the trained prefix of the rollout is identical
+    predict7 = load_predictor(cfg, str(tmp_path / "out" / "best_model"),
+                              output_frames=7)
+    out7 = predict7(frames)
+    assert out7.shape == (2, 7, 1, 8, 8)
+    np.testing.assert_allclose(np.asarray(out7[:, :3]), np.asarray(out),
+                               atol=1e-5)
+
 
 def test_predictor_generator(tmp_path, rng):
     cfg = Config.from_dict({
