@@ -82,7 +82,16 @@ class CheckpointWriter:
                 shutil.rmtree(old)
             if os.path.exists(path):
                 os.replace(path, old)
-            os.replace(tmp, path)
+            try:
+                os.replace(tmp, path)
+            except FileNotFoundError:
+                # tmp vanished under us (e.g. another process was pointed at
+                # the same output dir). Checkpointing must never kill a
+                # training run: roll the previous checkpoint back and warn.
+                if os.path.exists(old) and not os.path.exists(path):
+                    os.replace(old, path)
+                print(f"WARNING: checkpoint promotion of {path} skipped — "
+                      f"pending dir disappeared (concurrent writer?)")
             if os.path.exists(old):
                 shutil.rmtree(old)
         if multihost:

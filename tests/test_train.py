@@ -262,3 +262,24 @@ def test_async_checkpoint_crash_leaves_previous_intact(tmp_path):
     w2._pending = None                # simulate the process dying pre-wait
     _, host = restore_checkpoint(path, dev)
     assert host["epoch"] == 0         # previous checkpoint intact
+
+
+def test_checkpoint_promotion_survives_missing_pending(tmp_path):
+    """If the pending dir disappears (e.g. a concurrent writer on the same
+    output dir), wait() must keep the previous checkpoint and NOT raise —
+    checkpointing can never kill a training run."""
+    import shutil
+    from pl_convlstm_gan_tpu.train import CheckpointWriter, restore_checkpoint
+    _, tx, state, _ = _tiny_setup()
+    path = str(tmp_path / "ck")
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w = CheckpointWriter()
+    w.save(path, dev, {"epoch": 0, "rmse": 1.0})
+    w.wait()
+    w.save(path, dev, {"epoch": 1, "rmse": 0.9})
+    w._ckptr.wait_until_finished()
+    shutil.rmtree(path + ".pending")      # simulate the racing writer
+    w.wait()                               # must not raise
+    _, host = restore_checkpoint(path, dev)
+    assert host["epoch"] == 0              # previous checkpoint intact
