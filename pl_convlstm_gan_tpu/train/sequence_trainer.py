@@ -284,6 +284,7 @@ class SequenceTrainer:
                 print(f"Epoch {epoch} | Train: {train_loss:.4f}")
                 current = train_loss
             self.scheduler.step(current)
+            self._log_epoch_metrics(epoch, epoch_s, avg, val)
 
             should_save = False
             if self.early_stopping is not None:
@@ -325,6 +326,18 @@ class SequenceTrainer:
         print(f"\nTraining completed. Best epoch {self.best_epoch + 1}, "
               f"metric {self.best_metric:.4f}")
         return self.history
+
+    def _log_epoch_metrics(self, epoch, epoch_s, train_avg, val_metrics):
+        """One JSON line per epoch to <output_dir>/metrics.jsonl (structured
+        observability alongside the console prints)."""
+        import json
+        rec = {"epoch": epoch, "epoch_seconds": round(epoch_s, 3),
+               "lr": self.scheduler.lr, "tf_prob": self.teacher_forcing_prob(epoch),
+               **{f"train_{k}": float(v) for k, v in train_avg.items()}}
+        if val_metrics:
+            rec.update({f"val_{k}": float(v) for k, v in val_metrics.items()})
+        with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _final_sequence_plot(self):
         """Frame-grid comparison on one val/train sample (visual sanity)."""

@@ -311,6 +311,7 @@ class Trainer:
                 print(f"Epoch {epoch} finished. Avg Batch RMSE: {avg['rmse']:.4f}")
                 self.scheduler.step(avg["rmse"])
                 current_rmse = avg["rmse"]
+            self._log_epoch_metrics(epoch, epoch_s, avg, val_metrics)
 
             if (epoch + 1) % 10 == 0:
                 plot_training_curves(
@@ -359,6 +360,19 @@ class Trainer:
         print(f"Best model: Epoch {self.best_epoch + 1}, RMSE: {self.best_rmse:.4f}")
         print(f"Results saved to {self.output_dir}/")
         return self.history
+
+    def _log_epoch_metrics(self, epoch, epoch_s, train_avg, val_metrics):
+        """Append one JSON line per epoch to <output_dir>/metrics.jsonl —
+        machine-readable observability alongside the reference-parity prints
+        (SURVEY.md §5 metrics row)."""
+        import json
+        rec = {"epoch": epoch, "epoch_seconds": round(epoch_s, 3),
+               "lr": self.scheduler.lr,
+               **{f"train_{k}": float(v) for k, v in train_avg.items()}}
+        if val_metrics:
+            rec.update({f"val_{k}": float(v) for k, v in val_metrics.items()})
+        with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     def _final_station_plot(self):
         """Final obs-vs-pred scatter (reference trainer.py:434-443)."""

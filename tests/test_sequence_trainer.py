@@ -34,6 +34,11 @@ def test_forecaster_trainer_smoke(tmp_path):
     out = str(tmp_path / "out_forecaster")
     assert os.path.isdir(os.path.join(out, "best_model"))
     assert os.path.exists(os.path.join(out, "history.json"))
+    import json
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 2
+    assert {"epoch", "lr", "tf_prob", "train_total", "val_l1"} <= set(recs[0])
 
 
 def test_gan_trainer_smoke(tmp_path):

@@ -146,6 +146,12 @@ def test_trainer_end_to_end_smoke(tmp_path):
     assert os.path.isdir(os.path.join(out, "best_model"))
     assert os.path.exists(os.path.join(out, "final_training_curves.png"))
     assert os.path.exists(os.path.join(out, "history.json"))
+    # structured per-epoch metrics log
+    import json
+    with open(os.path.join(out, "metrics.jsonl")) as f:
+        recs = [json.loads(line) for line in f]
+    assert len(recs) == 2
+    assert {"epoch", "lr", "train_total", "val_rmse"} <= set(recs[0])
 
 
 def test_trainer_resume(tmp_path):
