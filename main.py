@@ -41,11 +41,25 @@ def main():
     parser.add_argument("--output", type=str, default=None,
                         help="predict mode: output .npy path "
                              "(default: <output_dir>/predictions.npy)")
+    parser.add_argument("--resume", action="store_true",
+                        help="train mode: resume from <output_dir>/latest "
+                             "(or best_model) if present — restart-based "
+                             "crash recovery")
     args = parser.parse_args()
 
     config = load_config(args.config)
     config.validate()
     config.apply_debug_flags()
+
+    if args.resume and not config.training.resume_from:
+        for name in ("latest", "best_model"):
+            ckpt = os.path.join(config.output.output_dir, name)
+            if os.path.isdir(ckpt):
+                config.training.resume_from = ckpt
+                print(f"Resuming from {ckpt}")
+                break
+        else:
+            print("--resume: no checkpoint found, starting fresh")
 
     # multi-host bootstrap (no-op on single-host; SURVEY.md §2.2)
     from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed

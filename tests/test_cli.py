@@ -75,3 +75,16 @@ def test_cli_predict_generator_npz(tmp_path):
                "--output", str(tmp_path / "out.npy")], str(tmp_path))
     pred = np.load(tmp_path / "out.npy")
     assert pred.shape == (1, 3, 1, 16, 16)
+
+
+def test_cli_resume_flag(tmp_path, capsys):
+    """--resume picks up <output_dir>/latest (restart-based crash recovery);
+    with no checkpoint it starts fresh."""
+    _run_main(["--config", "ci_smoke_seq", "--resume"], str(tmp_path))
+    out1 = capsys.readouterr().out
+    assert "no checkpoint found" in out1
+    # second invocation resumes from the best_model written by the first
+    _run_main(["--config", "ci_smoke_seq", "--resume"], str(tmp_path))
+    out2 = capsys.readouterr().out
+    assert "Resuming from" in out2
+    assert "Restored checkpoint" in out2
