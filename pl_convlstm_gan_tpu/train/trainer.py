@@ -151,6 +151,7 @@ class Trainer:
             hidden_dims=tuple(mc.hidden_dims), lu_channels=num_lu_classes,
             kernel_size=mc.kernel_size,
             convlstm_impl=self._resolve_impl(mc.convlstm_impl),
+            split_precompute=mc.split_precompute,
             dtype=jnp.bfloat16 if self.config.precision.compute_dtype == "bfloat16"
             else None)
         self.input_grid_size = None
