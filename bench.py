@@ -66,19 +66,21 @@ def bench_jax(iters: int) -> dict:
         _ = float(m["total"])
 
     # THROUGHPUT (headline): steady-state — a real training loop does NOT sync
-    # per step, so time CHAIN dependent steps with ONE final scalar fetch.
-    # Per-call host sync costs ~26 ms through the axon tunnel (measured in
-    # experiments/ablate_train_step.py); per-step timing would charge that
-    # dispatch tax to every step and under-report throughput by ~35%.
+    # per step, so time CHAIN dependent steps with ONE final scalar fetch
+    # (utils.profiling.benchmark_chained). Per-call host sync costs ~26 ms
+    # through the axon tunnel (measured in experiments/ablate_train_step.py);
+    # per-step timing would charge that dispatch tax to every step and
+    # under-report throughput by ~35%.
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
     chain = max(2, iters)
-    chain_times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            state, m = step(state, (inputs, targets), lr, tf, key)
-        _ = float(m["total"])
-        chain_times.append((time.perf_counter() - t0) / chain)
-    p50 = float(np.median(chain_times))
+
+    def chain_step(st):
+        st, _ = step(st, (inputs, targets), lr, tf, key)
+        return st
+
+    res = benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                            chain=chain, iters=iters, warmup=1)
+    p50, state = res["p50"], res["state"]
 
     # per-step sync mode kept for reference (what round-1 reported)
     times = []
@@ -92,14 +94,11 @@ def bench_jax(iters: int) -> dict:
     # inference p50 latency of a free-running 10-frame rollout: device-side
     # latency via back-to-back calls (one fetch), host-observed incl. sync too
     infer = jax.jit(lambda p, x: model.apply(p, x))
-    out = infer(state.params, inputs)
-    _ = float(out[0, 0, 0, 0, 0])
-    itimes, itimes_sync = [], []
+    ires = benchmark_chained(lambda _: infer(state.params, inputs), None,
+                             fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                             chain=chain, iters=iters, warmup=1)
+    itimes_sync = []
     for _ in range(iters):
-        t0 = time.perf_counter()
-        outs = [infer(state.params, inputs) for _ in range(chain)]
-        _ = float(outs[-1][0, 0, 0, 0, 0])
-        itimes.append((time.perf_counter() - t0) / chain)
         t0 = time.perf_counter()
         out = infer(state.params, inputs)
         _ = float(out[0, 0, 0, 0, 0])
@@ -107,7 +106,7 @@ def bench_jax(iters: int) -> dict:
 
     return {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
             "p50_step_sync_s": p50_sync,
-            "p50_rollout_latency_s": float(np.median(itimes)),
+            "p50_rollout_latency_s": ires["p50"],
             "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
             "loss": float(m["total"])}
 

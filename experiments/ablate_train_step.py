@@ -63,18 +63,12 @@ def time_sync(fn, fetch, iters):
 
 
 def time_chained(step_fn, state0, fetch_state, chain, iters):
-    """Median seconds per call with K dependent calls and one final fetch."""
-    state = state0
-    state = step_fn(state)
-    fetch_state(state)
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            state = step_fn(state)
-        fetch_state(state)
-        times.append((time.perf_counter() - t0) / chain)
-    return float(np.median(times)), state
+    """Median seconds per call, K dependent calls + one final fetch (shared
+    implementation: utils.profiling.benchmark_chained)."""
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+    res = benchmark_chained(step_fn, state0, fetch=fetch_state, chain=chain,
+                            iters=iters, warmup=1)
+    return res["p50"], res["state"]
 
 
 def main():

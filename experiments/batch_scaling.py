@@ -1,11 +1,9 @@
-"""Does rematerialization speed up the backward at bench shapes?
+"""Per-chip throughput vs batch size on the bench workload (chained timing).
 
-Round-2 ablation: fwd 12.2 ms vs bwd +40.1 ms — backward runs at ~60% of the
-forward's TFLOP/s despite 2x the FLOPs, suggesting it is partly bound on
-reading stored scan activations from HBM. remat=True recomputes the scan body
-in the backward (more FLOPs, less HBM traffic): measure which wins.
+Gives users sizing guidance: how much of the v5e's MXU headroom a bigger
+per-chip batch actually buys for the 5-in/10-out 128px forecaster.
 
-Run: python experiments/remat_bench.py [--iters 8] [--chain 8]
+Run: python experiments/batch_scaling.py [--iters 6] [--chain 6]
 """
 import argparse
 import json
@@ -31,16 +29,15 @@ from pl_convlstm_gan_tpu.models import ConvLSTMForecaster  # noqa: E402
 from pl_convlstm_gan_tpu.train import (TrainState, make_forecaster_train_step,  # noqa: E402
                                        make_optimizer)
 
-BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
+T_IN, T_OUT, SIZE, HIDDEN = 5, 10, 128, (64, 64)
 
 
-def bench(remat, iters, chain):
+def bench(batch, iters, chain):
     rng = np.random.default_rng(0)
-    inputs = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE), np.float32()))
-    targets = jnp.asarray(rng.random((BATCH, T_OUT, 1, SIZE, SIZE), np.float32()))
+    inputs = jnp.asarray(rng.random((batch, T_IN, 1, SIZE, SIZE), np.float32()))
+    targets = jnp.asarray(rng.random((batch, T_OUT, 1, SIZE, SIZE), np.float32()))
     model = ConvLSTMForecaster(hidden_dims=HIDDEN, input_frames=T_IN,
-                               output_frames=T_OUT, dtype=jnp.bfloat16,
-                               remat=remat)
+                               output_frames=T_OUT, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), inputs)
     tx = make_optimizer(0.5)
     state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
@@ -53,22 +50,25 @@ def bench(remat, iters, chain):
         st, _ = step(st, (inputs, targets), lr, tf, key)
         return st
 
-    return benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
-                             chain=chain, iters=iters, warmup=1)["p50"]
+    p50 = benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                            chain=chain, iters=iters, warmup=1)["p50"]
+    return {"p50_ms": round(p50 * 1e3, 2),
+            "frames_per_sec": round(batch * T_OUT / p50, 1)}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--iters", type=int, default=8)
-    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=6)
+    ap.add_argument("--chain", type=int, default=6)
     args = ap.parse_args()
     print(f"devices: {jax.devices()}", file=sys.stderr)
     out = {}
-    for remat in (False, True):
-        ms = bench(remat, args.iters, args.chain) * 1e3
-        out[f"remat_{remat}_ms"] = round(ms, 2)
-        print(json.dumps({f"remat_{remat}_ms": out[f'remat_{remat}_ms']}),
-              file=sys.stderr)
+    for b in (1, 2, 4, 8, 16):
+        try:
+            out[f"b{b}"] = bench(b, args.iters, args.chain)
+        except Exception as e:   # e.g. RESOURCE_EXHAUSTED at large batches
+            out[f"b{b}"] = {"error": type(e).__name__}
+        print(json.dumps({f"b{b}": out[f'b{b}']}), file=sys.stderr)
     print(json.dumps(out, indent=1))
 
 

@@ -46,16 +46,14 @@ def bench(unroll, iters, chain):
     step = make_forecaster_train_step(model.apply, tx)
     lr, tf, key = jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(1)
 
-    state, m = step(state, (inputs, targets), lr, tf, key)
-    _ = float(m["total"])
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            state, m = step(state, (inputs, targets), lr, tf, key)
-        _ = float(m["total"])
-        times.append((time.perf_counter() - t0) / chain)
-    return float(np.median(times))
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+
+    def chain_step(st):
+        st, _ = step(st, (inputs, targets), lr, tf, key)
+        return st
+
+    return benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                             chain=chain, iters=iters, warmup=1)["p50"]
 
 
 def main():

@@ -52,16 +52,14 @@ def bench_case(split, b, t, lr_size, scale, hidden, iters, chain, dtype):
     step = make_generator_train_step(model.apply, tx, LOSS_CFG)
     lr = jnp.asarray(1e-3)
 
-    state, m = step(state, batch, lr)
-    _ = float(m["total"])
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            state, m = step(state, batch, lr)
-        _ = float(m["total"])
-        times.append((time.perf_counter() - t0) / chain)
-    return float(np.median(times))
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+
+    def chain_step(st):
+        st, _ = step(st, batch, lr)
+        return st
+
+    return benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                             chain=chain, iters=iters, warmup=1)["p50"]
 
 
 def main():

@@ -52,9 +52,12 @@ def main():
     config.apply_debug_flags()
 
     if args.resume and not config.training.resume_from:
+        from pl_convlstm_gan_tpu.train.checkpoint import recover_checkpoint_dir
         for name in ("latest", "best_model"):
             ckpt = os.path.join(config.output.output_dir, name)
-            if os.path.isdir(ckpt):
+            # also recovers a checkpoint stranded at <ckpt>.old by a crash
+            # mid-promotion
+            if recover_checkpoint_dir(ckpt):
                 config.training.resume_from = ckpt
                 print(f"Resuming from {ckpt}")
                 break

@@ -3,9 +3,10 @@
 The reference's only data path is the Fenhe downscaling loader; the sequence
 families (nowcasting, BASELINE.json configs #1-#5) trained on synthetic data in
 round 1. This adds the bring-your-own-data path: a single ``.npy``/``.npz``
-stack of frame sequences (e.g. exported radar/video windows), memory-mapped on
-host and windowed into (input, target) pairs — the production entry for real
-nowcasting datasets (HKO-7/SEVIR-style exports).
+stack of frame sequences (e.g. exported radar/video windows) — ``.npy``
+memory-mapped on host, ``.npz`` decompressed eagerly — windowed into
+(input, target) pairs: the production entry for real nowcasting datasets
+(HKO-7/SEVIR-style exports).
 
 Accepted layouts (auto-detected):
 - ``[N, T, H, W]``    — N sequences of T single-channel frames
@@ -32,7 +33,10 @@ class NpyFramesDataset:
         self.scale = float(scale)
         total = input_frames + output_frames
         if path.endswith(".npz"):
-            arr = np.load(path)[key]
+            # npz entries are decompressed eagerly (no mmap possible for
+            # zipped arrays); close the archive handle after extraction
+            with np.load(path) as zf:
+                arr = np.asarray(zf[key])
         else:
             arr = np.load(path, mmap_mode="r" if mmap else None)
 

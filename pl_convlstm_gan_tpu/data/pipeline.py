@@ -89,7 +89,9 @@ def eval_batches(dataset, batch_size: int,
 def make_grain_loader(dataset, batch_size: int, shuffle: bool = False, seed: int = 0,
                       num_epochs: Optional[int] = 1, drop_remainder: bool = True,
                       shard_by_process: bool = True,
-                      worker_count: int = 0) -> Iterable:
+                      worker_count: int = 0,
+                      process_index: Optional[int] = None,
+                      process_count: Optional[int] = None) -> Iterable:
     """grain.MapDataset pipeline: [shard] -> shuffle -> batch -> (workers) iterate.
 
     `batch_size` is the GLOBAL batch size; under multi-host DP each host's
@@ -98,15 +100,29 @@ def make_grain_loader(dataset, batch_size: int, shuffle: bool = False, seed: int
     ``prefetch_to_device`` assembles the global sharded array."""
     import grain
 
+    pi = jax.process_index() if process_index is None else process_index
+    pc_total = jax.process_count() if process_count is None else process_count
+
     ds = grain.MapDataset.source(dataset)
     local_bs = batch_size
-    if shard_by_process and jax.process_count() > 1:
-        assert batch_size % jax.process_count() == 0, \
-            (batch_size, jax.process_count())
-        ds = ds[jax.process_index()::jax.process_count()]
-        local_bs = batch_size // jax.process_count()
+    common = None
+    if shard_by_process and pc_total > 1:
+        pc = pc_total
+        assert batch_size % pc == 0, (batch_size, pc)
+        ds = ds[pi::pc]
+        local_bs = batch_size // pc
+        # interleaved shards differ in length by up to 1 when n % pc != 0;
+        # truncate every host to the SAME length (a multiple of local_bs) so
+        # all hosts yield the same number of batches per epoch — otherwise one
+        # host would enter an extra global step and the distributed program
+        # would deadlock on mismatched collectives. Truncation happens AFTER
+        # the shuffle so the dropped tail varies per epoch seed.
+        n = len(dataset)
+        common = (n // pc // local_bs) * local_bs if drop_remainder else n // pc
     if shuffle:
         ds = ds.shuffle(seed=seed)
+    if common is not None:
+        ds = ds[:common]
     if num_epochs is not None and num_epochs != 1:
         ds = ds.repeat(num_epochs)
     ds = ds.batch(local_bs, drop_remainder=drop_remainder, batch_fn=_stack)

@@ -38,11 +38,12 @@ def build_model(config: Config, lu_channels: int = 0,
             output_frames=output_frames or mc.output_frames,
             in_channels=mc.in_channels,
             kernel_size=mc.kernel_size, convlstm_impl=impl, remat=mc.remat,
-            dtype=dtype)
+            scan_unroll=mc.scan_unroll, dtype=dtype)
     kwargs = dict(in_channels=mc.in_channels, dem_channels=mc.dem_channels,
                   hidden_dims=tuple(mc.hidden_dims),
                   lu_channels=lu_channels or mc.lu_channels,
-                  kernel_size=mc.kernel_size, convlstm_impl=impl, dtype=dtype)
+                  kernel_size=mc.kernel_size, convlstm_impl=impl,
+                  split_precompute=mc.split_precompute, dtype=dtype)
     if mc.target_grid_size:
         kwargs["target_grid_size"] = tuple(mc.target_grid_size)
     elif mc.scale_factor:

@@ -59,17 +59,25 @@ def coarsen_coords(vec, factor: int = 33):
 def convert_tif_to_npy(tif_path: str, out_prefix: str, kind: str,
                        coarsen: int = 33):
     """kind: 'dem' (>=9000 -> 0, coarsen-mean) or 'lucc' (255 -> 0, coarsen-max).
-    The block math lives in the pure-numpy coarsen_* helpers (tested without
-    geo deps); this wrapper only does raster IO."""
+
+    The raster stays dask-chunked through cleanup + coarsen (a 30m regional
+    GeoTIFF can be tens of GB dense — only the 1km result is materialized);
+    the xarray expressions mirror the pure-numpy coarsen_* cores above, which
+    pin the block math in tests (geo deps absent there)."""
     import numpy as np
     import rioxarray
 
     da = rioxarray.open_rasterio(tif_path, chunks={"x": 4096, "y": 4096}).squeeze()
-    raw = np.asarray(da.values)
     if kind == "dem":
-        arr = coarsen_dem(raw, coarsen)
+        cleaned = da.where(da < 9000, 0)        # zeros participate in the mean
+        coarse = cleaned.coarsen(x=coarsen, y=coarsen, boundary="trim").mean()
+        arr = np.asarray(coarse.values, np.float32)
+        arr[arr > 9000] = 0                     # reference final cleanup
     elif kind == "lucc":
-        arr = coarsen_lucc(raw, coarsen)
+        cleaned = da.where(da != 255, 0)
+        coarse = cleaned.coarsen(x=coarsen, y=coarsen, boundary="trim").max()
+        arr = np.asarray(coarse.values)
+        arr = np.where(arr == 255, 0, arr).astype(np.int32)
     else:
         raise ValueError(kind)
 

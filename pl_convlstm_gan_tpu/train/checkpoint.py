@@ -11,7 +11,15 @@ next epoch trains; host-side scalars/dicts ride alongside as JSON.
 Crash safety: a save writes into ``<path>.pending`` and is promoted to ``<path>``
 only after the async serialization finishes (on the next save, an explicit
 ``wait()``, or interpreter exit) — a crash mid-save leaves the previous complete
-checkpoint at ``<path>`` untouched.
+checkpoint at ``<path>`` untouched. The promotion itself is two renames; a crash
+between them strands the previous checkpoint at ``<path>.old``, from which
+``recover_checkpoint_dir`` (called by ``restore_checkpoint`` and ``--resume``)
+moves it back.
+
+Note: ``host_state.json`` inside a checkpoint is a Python-internal format and
+may contain bare ``NaN``/``Infinity`` tokens (exact round-trip matters for
+resume); the externally-consumed run artifacts (``history.json``,
+``metrics.jsonl``) are strict JSON (utils/metrics_log.py).
 """
 from __future__ import annotations
 
@@ -110,6 +118,27 @@ def save_checkpoint(path: str, device_state: Any, host_state: Dict) -> None:
     w.close()
 
 
+def recover_checkpoint_dir(path: str) -> bool:
+    """Recover from a crash between the two promotion renames: if `path` is
+    missing but a complete previous checkpoint sits at `path`.old, move it
+    back. Returns True iff a checkpoint exists at `path` afterwards.
+
+    Multi-host: only process 0 touches the filesystem; everyone else waits."""
+    import jax
+    path = os.path.abspath(path)
+    multihost = jax.process_count() > 1
+    if not multihost or jax.process_index() == 0:
+        old = path + ".old"
+        if not os.path.isdir(path) and os.path.isdir(old):
+            os.replace(old, path)
+            print(f"Recovered checkpoint {path} from interrupted promotion "
+                  f"({old})")
+    if multihost:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("ckpt_recover")
+    return os.path.isdir(path)
+
+
 def restore_checkpoint(path: str, target: Optional[Any] = None
                        ) -> Tuple[Any, Dict]:
     """Restore (device_state, host_state). `target` (a matching pytree of arrays)
@@ -118,6 +147,7 @@ def restore_checkpoint(path: str, target: Optional[Any] = None
     Callers holding a CheckpointWriter must ``wait()`` it first if restoring a
     path that writer may still be serializing."""
     path = os.path.abspath(path)
+    recover_checkpoint_dir(path)
     ckptr = ocp.StandardCheckpointer()
     state_path = os.path.join(path, "state")
     if target is not None:

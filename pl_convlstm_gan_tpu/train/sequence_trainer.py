@@ -309,35 +309,35 @@ class SequenceTrainer:
                 break
 
         self._ckpt_writer.wait()  # finalize any in-flight checkpoint
-        val = self.history.get("val_l1", [])
-        rmse_series = val if len(val) == len(self.history["epoch"]) \
-            else self.history["total_loss"]
-        plot_training_curves(
-            {"epoch": self.history["epoch"],
-             "total_loss": self.history["total_loss"],
-             "rmse": rmse_series,
-             "learning_rate": self.history["learning_rate"]},
-            save_path=os.path.join(self.output_dir, "final_training_curves.png"),
-            dpi=self.config.output.plot_dpi)
-        import json
-        with open(os.path.join(self.output_dir, "history.json"), "w") as f:
-            json.dump(self.history, f)
-        self._final_sequence_plot()
+        from ..utils.metrics_log import dump_history, is_primary_host
+        if is_primary_host():  # run artifacts are owned by process 0
+            val = self.history.get("val_l1", [])
+            rmse_series = val if len(val) == len(self.history["epoch"]) \
+                else self.history["total_loss"]
+            plot_training_curves(
+                {"epoch": self.history["epoch"],
+                 "total_loss": self.history["total_loss"],
+                 "rmse": rmse_series,
+                 "learning_rate": self.history["learning_rate"]},
+                save_path=os.path.join(self.output_dir,
+                                       "final_training_curves.png"),
+                dpi=self.config.output.plot_dpi)
+            self._final_sequence_plot()
+        dump_history(self.output_dir, self.history)
         print(f"\nTraining completed. Best epoch {self.best_epoch + 1}, "
               f"metric {self.best_metric:.4f}")
         return self.history
 
     def _log_epoch_metrics(self, epoch, epoch_s, train_avg, val_metrics):
-        """One JSON line per epoch to <output_dir>/metrics.jsonl (structured
-        observability alongside the console prints)."""
-        import json
+        """One strict-JSON line per epoch to <output_dir>/metrics.jsonl
+        (process 0 only under multi-host)."""
+        from ..utils.metrics_log import append_metrics_line
         rec = {"epoch": epoch, "epoch_seconds": round(epoch_s, 3),
                "lr": self.scheduler.lr, "tf_prob": self.teacher_forcing_prob(epoch),
                **{f"train_{k}": float(v) for k, v in train_avg.items()}}
         if val_metrics:
             rec.update({f"val_{k}": float(v) for k, v in val_metrics.items()})
-        with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        append_metrics_line(self.output_dir, rec)
 
     def _final_sequence_plot(self):
         """Frame-grid comparison on one val/train sample (visual sanity)."""

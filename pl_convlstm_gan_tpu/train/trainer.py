@@ -348,14 +348,15 @@ class Trainer:
                 break
 
         self._ckpt_writer.wait()  # finalize any in-flight checkpoint
-        plot_training_curves(
-            self.history,
-            save_path=os.path.join(self.output_dir, "final_training_curves.png"),
-            dpi=self.config.output.plot_dpi)
-        self._final_station_plot()
-        import json
-        with open(os.path.join(self.output_dir, "history.json"), "w") as f:
-            json.dump(self.history, f)
+        from ..utils.metrics_log import dump_history, is_primary_host
+        if is_primary_host():  # run artifacts are owned by process 0
+            plot_training_curves(
+                self.history,
+                save_path=os.path.join(self.output_dir,
+                                       "final_training_curves.png"),
+                dpi=self.config.output.plot_dpi)
+            self._final_station_plot()
+        dump_history(self.output_dir, self.history)
 
         print("\nTraining completed!")
         print(f"Best model: Epoch {self.best_epoch + 1}, RMSE: {self.best_rmse:.4f}")
@@ -363,17 +364,16 @@ class Trainer:
         return self.history
 
     def _log_epoch_metrics(self, epoch, epoch_s, train_avg, val_metrics):
-        """Append one JSON line per epoch to <output_dir>/metrics.jsonl —
-        machine-readable observability alongside the reference-parity prints
-        (SURVEY.md §5 metrics row)."""
-        import json
+        """Append one strict-JSON line per epoch to <output_dir>/metrics.jsonl
+        (process 0 only under multi-host) — machine-readable observability
+        alongside the reference-parity prints (SURVEY.md §5 metrics row)."""
+        from ..utils.metrics_log import append_metrics_line
         rec = {"epoch": epoch, "epoch_seconds": round(epoch_s, 3),
                "lr": self.scheduler.lr,
                **{f"train_{k}": float(v) for k, v in train_avg.items()}}
         if val_metrics:
             rec.update({f"val_{k}": float(v) for k, v in val_metrics.items()})
-        with open(os.path.join(self.output_dir, "metrics.jsonl"), "a") as f:
-            f.write(json.dumps(rec) + "\n")
+        append_metrics_line(self.output_dir, rec)
 
     def _final_station_plot(self):
         """Final obs-vs-pred scatter (reference trainer.py:434-443)."""

@@ -264,3 +264,21 @@ def test_sequence_trainer_frames_source(tmp_path):
     history = t.train()
     assert len(history["epoch"]) == 1
     assert np.isfinite(history["total_loss"][0])
+
+
+def test_grain_loader_equal_batch_counts_across_hosts():
+    """Multi-host grain sharding must yield the SAME number of batches on
+    every host (a count mismatch would desync the distributed step loop and
+    deadlock collectives) — n % process_count != 0 is the dangerous case."""
+    from pl_convlstm_gan_tpu.data import SyntheticSequenceDataset
+    from pl_convlstm_gan_tpu.data.pipeline import make_grain_loader
+    ds = SyntheticSequenceDataset(num_sequences=15, input_frames=2,
+                                  output_frames=2, image_size=8, seed=0)
+    counts, seen = [], []
+    for p in range(2):
+        batches = list(make_grain_loader(ds, 8, shuffle=True, seed=1,
+                                         process_index=p, process_count=2))
+        counts.append(len(batches))
+        for b in batches:
+            assert b[0].shape[0] == 4  # local batch = global / process_count
+    assert counts[0] == counts[1] == 1  # floor(15/2)=7 -> 1 local batch of 4

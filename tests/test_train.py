@@ -289,3 +289,22 @@ def test_checkpoint_promotion_survives_missing_pending(tmp_path):
     w.wait()                               # must not raise
     _, host = restore_checkpoint(path, dev)
     assert host["epoch"] == 0              # previous checkpoint intact
+
+
+def test_recover_checkpoint_from_interrupted_promotion(tmp_path):
+    """A crash between the two promotion renames strands the checkpoint at
+    <path>.old; restore_checkpoint and --resume must recover it."""
+    import os as _os
+    from pl_convlstm_gan_tpu.train import CheckpointWriter, restore_checkpoint
+    _, tx, state, _ = _tiny_setup()
+    path = str(tmp_path / "ck")
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w = CheckpointWriter()
+    w.save(path, dev, {"epoch": 5, "rmse": 0.7})
+    w.close()
+    _os.replace(path, path + ".old")       # simulate the crash window
+    assert not _os.path.isdir(path)
+    _, host = restore_checkpoint(path, dev)  # recovers from .old
+    assert host["epoch"] == 5
+    assert _os.path.isdir(path)

@@ -56,3 +56,14 @@ def test_benchmark_chained():
                             warmup=1)
     assert res["p50"] > 0 and res["min"] <= res["mean"]
     assert float(res["state"]) == 7.0  # 1 warmup + 2*3 chained
+
+
+def test_sanitize_json_strict():
+    """history/metrics artifacts must be strict JSON: NaN/inf -> null."""
+    import json
+    from pl_convlstm_gan_tpu.utils.metrics_log import sanitize_json
+    obj = {"a": float("nan"), "b": [1.0, float("inf")], "c": {"d": 2}, "e": "x"}
+    out = sanitize_json(obj)
+    s = json.dumps(out, allow_nan=False)   # raises if any non-finite remained
+    assert json.loads(s) == {"a": None, "b": [1.0, None], "c": {"d": 2},
+                             "e": "x"}
