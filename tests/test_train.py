@@ -308,3 +308,12 @@ def test_recover_checkpoint_from_interrupted_promotion(tmp_path):
     _, host = restore_checkpoint(path, dev)  # recovers from .old
     assert host["epoch"] == 5
     assert _os.path.isdir(path)
+
+
+def test_training_is_seed_deterministic(tmp_path):
+    """Two runs from the same config/seed produce an identical loss history —
+    pins end-to-end reproducibility (data order, init, scheduled draws)."""
+    h1 = Trainer(config=_tiny_config(tmp_path / "a")).train()
+    h2 = Trainer(config=_tiny_config(tmp_path / "b")).train()
+    assert h1["total_loss"] == h2["total_loss"]
+    assert h1["rmse"] == h2["rmse"]
