@@ -132,3 +132,32 @@ def test_resize_identity_shortcircuit(rng):
     x = jnp.asarray(rng.standard_normal((1, 7, 7, 3), dtype=np.float32))
     for fn in (resize_bilinear, resize_nearest, resize_area):
         assert fn(x, 7, 7) is x
+
+
+def test_resize_randomized_parity_sweep(rng):
+    """Randomized shape/scale sweep of all three resize modes vs torch
+    F.interpolate — guards the subtlest parity surface (edge semantics,
+    non-integer ratios, up AND down)."""
+    import torch.nn.functional as TF
+    modes = (("bilinear", resize_bilinear, dict(mode="bilinear",
+                                                align_corners=False)),
+             ("nearest", resize_nearest, dict(mode="nearest")),
+             ("area", resize_area, dict(mode="area")))
+    for trial in range(12):
+        h_in = int(rng.integers(3, 40))
+        w_in = int(rng.integers(3, 40))
+        h_out = int(rng.integers(2, 64))
+        w_out = int(rng.integers(2, 64))
+        x = rng.standard_normal((2, h_in, w_in, 3), dtype=np.float32)
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))
+        for name, ours_fn, tkw in modes:
+            if name == "area" and (h_in % h_out or w_in % w_out):
+                # torch 'area' == adaptive avg-pool only when sizes divide
+                # evenly; the framework only uses it in that regime
+                # (conservation loss: HR is an integer multiple of LR)
+                continue
+            ours = np.asarray(ours_fn(jnp.asarray(x), h_out, w_out))
+            theirs = TF.interpolate(xt, size=(h_out, w_out), **tkw).numpy()
+            np.testing.assert_allclose(
+                ours, np.transpose(theirs, (0, 2, 3, 1)), atol=1e-5,
+                err_msg=f"{name} {h_in}x{w_in}->{h_out}x{w_out} (trial {trial})")
