@@ -51,22 +51,27 @@ def main():
     config.validate()
     config.apply_debug_flags()
 
+    # multi-host bootstrap (no-op on single-host; SURVEY.md §2.2). Must run
+    # BEFORE anything touches the jax backend (e.g. recover_checkpoint_dir):
+    # jax.distributed.initialize raises once the backend is up, and the resume
+    # recovery below relies on process_index gating + barriers so that exactly
+    # one host mutates the shared checkpoint directories.
+    from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+
     if args.resume and not config.training.resume_from:
         from pl_convlstm_gan_tpu.train.checkpoint import recover_checkpoint_dir
         for name in ("latest", "best_model"):
             ckpt = os.path.join(config.output.output_dir, name)
-            # also recovers a checkpoint stranded at <ckpt>.old by a crash
-            # mid-promotion
+            # also recovers a checkpoint stranded at <ckpt>.old (crash
+            # mid-promotion) or fully serialized at <ckpt>.pending (crash
+            # after serialization, before promotion)
             if recover_checkpoint_dir(ckpt):
                 config.training.resume_from = ckpt
                 print(f"Resuming from {ckpt}")
                 break
         else:
             print("--resume: no checkpoint found, starting fresh")
-
-    # multi-host bootstrap (no-op on single-host; SURVEY.md §2.2)
-    from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed
-    maybe_init_distributed()
 
     if config.model.family in ("forecaster", "gan"):
         trainer = SequenceTrainer(config=config)
@@ -91,15 +96,22 @@ def main():
                                                "best_model")
         out_path = args.output or os.path.join(config.output.output_dir,
                                                "predictions.npy")
-        if args.input.endswith(".npz"):
-            data = np.load(args.input)
+        # dispatch on the model family (not the file extension): forecaster/gan
+        # take a frames array (.npy, or .npz with a 'frames' key); the
+        # generator takes an .npz with rain_lr/dem/lu arrays.
+        data = np.load(args.input)
+        is_npz = isinstance(data, np.lib.npyio.NpzFile)
+        if config.model.family in ("forecaster", "gan"):
+            frames = data["frames"] if is_npz else data
+            predict = load_predictor(config, ckpt)
+            pred = predict(frames)
+        else:
+            if not is_npz:
+                raise SystemExit("generator-family predict needs an .npz with "
+                                 "rain_lr/dem/lu arrays")
             predict = load_predictor(config, ckpt,
                                      lu_channels=data["lu"].shape[1])
             pred = predict(data["rain_lr"], data["dem"], data["lu"])
-        else:
-            frames = np.load(args.input)
-            predict = load_predictor(config, ckpt)
-            pred = predict(frames)
         np.save(out_path, np.asarray(pred))
         print(f"Predictions {np.asarray(pred).shape} saved to {out_path}")
     else:

@@ -52,6 +52,12 @@ def _ssim_map(pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
     mu_pp = jnp.maximum(_blur(p * p, win) - mu_p * mu_p, 0.0)
     mu_tt = jnp.maximum(_blur(t * t, win) - mu_t * mu_t, 0.0)
     mu_pt = _blur(p * t, win) - mu_p * mu_t
+    # The covariance suffers the same cancellation: its error survives the
+    # variance clamps and can put |num| >> den (SSIM ~ 20 instead of ~1 on
+    # offset-dominated windows). Cauchy-Schwarz bounds the true value:
+    # |cov| <= sqrt(var_p * var_t) — clamp to that, keeping SSIM in [-1, 1].
+    cov_bound = jnp.sqrt(mu_pp * mu_tt)
+    mu_pt = jnp.clip(mu_pt, -cov_bound, cov_bound)
 
     c1 = (k1 * data_range) ** 2
     c2 = (k2 * data_range) ** 2

@@ -119,9 +119,18 @@ def save_checkpoint(path: str, device_state: Any, host_state: Dict) -> None:
 
 
 def recover_checkpoint_dir(path: str) -> bool:
-    """Recover from a crash between the two promotion renames: if `path` is
-    missing but a complete previous checkpoint sits at `path`.old, move it
-    back. Returns True iff a checkpoint exists at `path` afterwards.
+    """Recover checkpoints stranded by a crash. Two cases, newest first:
+
+    1. ``path.pending`` holds a COMPLETE serialized checkpoint (orbax commits
+       the ``state`` dir by an atomic rename from ``state.orbax-checkpoint-tmp``,
+       so ``state`` existing proves serialization finished) — the process was
+       hard-killed between background serialization and the deferred promotion
+       (which normally runs on the next save or at interpreter exit). Promote
+       it now: it is strictly newer than whatever sits at ``path``.
+    2. ``path`` missing but ``path.old`` present — crash between the two
+       promotion renames; move the previous complete checkpoint back.
+
+    Returns True iff a checkpoint exists at `path` afterwards.
 
     Multi-host: only process 0 touches the filesystem; everyone else waits."""
     import jax
@@ -129,7 +138,15 @@ def recover_checkpoint_dir(path: str) -> bool:
     multihost = jax.process_count() > 1
     if not multihost or jax.process_index() == 0:
         old = path + ".old"
-        if not os.path.isdir(path) and os.path.isdir(old):
+        pending = path + ".pending"
+        if (os.path.isdir(os.path.join(pending, "state"))
+                and os.path.isfile(os.path.join(pending, "host_state.json"))):
+            if os.path.isdir(path):
+                shutil.rmtree(path)
+            os.replace(pending, path)
+            print(f"Recovered checkpoint {path} from completed-but-unpromoted "
+                  f"save ({pending})")
+        elif not os.path.isdir(path) and os.path.isdir(old):
             os.replace(old, path)
             print(f"Recovered checkpoint {path} from interrupted promotion "
                   f"({old})")

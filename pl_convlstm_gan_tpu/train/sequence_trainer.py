@@ -283,8 +283,10 @@ class SequenceTrainer:
                 self.history["val_ssim"].append(float("nan"))
                 print(f"Epoch {epoch} | Train: {train_loss:.4f}")
                 current = train_loss
-            self.scheduler.step(current)
+            # log BEFORE scheduler.step so the record carries the lr this
+            # epoch actually trained at (matches history["learning_rate"])
             self._log_epoch_metrics(epoch, epoch_s, avg, val)
+            self.scheduler.step(current)
 
             should_save = False
             if self.early_stopping is not None:

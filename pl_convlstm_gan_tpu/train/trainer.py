@@ -306,13 +306,14 @@ class Trainer:
                       f"Val Loss: {val_metrics['loss']:.4f} | "
                       f"Val RMSE: {val_metrics['rmse']:.4f} | "
                       f"{epoch_s:.1f}s")
-                self.scheduler.step(val_metrics["rmse"])
                 current_rmse = val_metrics["rmse"]
             else:
                 print(f"Epoch {epoch} finished. Avg Batch RMSE: {avg['rmse']:.4f}")
-                self.scheduler.step(avg["rmse"])
                 current_rmse = avg["rmse"]
+            # log BEFORE scheduler.step so the record carries the lr this
+            # epoch actually trained at (matches history["learning_rate"])
             self._log_epoch_metrics(epoch, epoch_s, avg, val_metrics)
+            self.scheduler.step(current_rmse)
 
             if (epoch + 1) % 10 == 0:
                 plot_training_curves(

@@ -77,6 +77,22 @@ def test_cli_predict_generator_npz(tmp_path):
     assert pred.shape == (1, 3, 1, 16, 16)
 
 
+def test_cli_predict_forecaster_npz(tmp_path):
+    """Forecaster-family predict dispatches on config.model.family, so an
+    .npz frames file (the format NpyFramesDataset accepts for training) works
+    too — it must NOT be routed to the generator branch by its extension."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    frames = np.random.default_rng(0).random((2, 2, 1, 16, 16)).astype(np.float32)
+    np.savez(tmp_path / "in.npz", frames=frames)
+    _run_main(["--config", "ci_smoke_seq", "--mode", "predict",
+               "--input", str(tmp_path / "in.npz"),
+               "--output", str(tmp_path / "out.npy")], str(tmp_path))
+    pred = np.load(tmp_path / "out.npy")
+    assert pred.shape == (2, 3, 1, 16, 16)
+    assert np.isfinite(pred).all()
+
+
 def test_cli_resume_flag(tmp_path, capsys):
     """--resume picks up <output_dir>/latest (restart-based crash recovery);
     with no checkpoint it starts fresh."""

@@ -245,3 +245,16 @@ def test_ssim_finite_with_large_offsets():
     v2 = ssim_per_sample(x, y)
     assert np.isfinite(np.asarray(v2)).all()
     assert (np.abs(np.asarray(v2)) <= 1.5).all()
+
+
+def test_ssim_bounded_under_covariance_cancellation():
+    """The covariance term suffers the same f32 cancellation as the variances:
+    offset 350 + texture of amplitude ~1e-3 makes the clamped variances ~0
+    while the raw covariance carries error ~1e-2 >> c2, blowing SSIM to ~20
+    without the Cauchy-Schwarz bound |cov| <= sqrt(var_p * var_t)."""
+    rng = np.random.default_rng(1)
+    t = 350.0 + 1e-3 * rng.standard_normal((1, 1, 1, 64, 64)).astype(np.float32)
+    p = np.full_like(t, 350.0)
+    v = float(ssim(jnp.asarray(p), jnp.asarray(t)))
+    assert np.isfinite(v)
+    assert -1.0 - 1e-4 <= v <= 1.0 + 1e-4

@@ -250,9 +250,11 @@ def test_async_checkpoint_writer(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_async_checkpoint_crash_leaves_previous_intact(tmp_path):
-    """A writer that dies before wait() must leave the previously finalized
-    checkpoint readable (crash-resume safety)."""
+def test_async_checkpoint_crash_recovers_completed_pending(tmp_path):
+    """Hard-kill after background serialization finished but before the
+    deferred promotion: the fully-serialized <path>.pending is strictly newer
+    than <path>, and restore must recover IT (not silently resume from the
+    stale previous checkpoint)."""
     from pl_convlstm_gan_tpu.train import CheckpointWriter
     _, tx, state, _ = _tiny_setup()
     path = str(tmp_path / "ck")
@@ -261,11 +263,33 @@ def test_async_checkpoint_crash_leaves_previous_intact(tmp_path):
     w1 = CheckpointWriter()
     w1.save(path, dev, {"epoch": 0, "rmse": 1.0})
     w1.close()
-    # second save started but never finalized ("crash"): pending dir lingers
+    # second save serialized completely but never promoted ("crash" pre-wait)
     w2 = CheckpointWriter()
     w2.save(path, dev, {"epoch": 1, "rmse": 0.5})
-    w2._ckptr.wait_until_finished()   # let IO settle, but skip promotion
+    w2._ckptr.wait_until_finished()   # serialization done, promotion skipped
     w2._pending = None                # simulate the process dying pre-wait
+    _, host = restore_checkpoint(path, dev)
+    assert host["epoch"] == 1         # completed pending recovered
+    assert not os.path.exists(path + ".pending")
+
+
+def test_async_checkpoint_incomplete_pending_ignored(tmp_path):
+    """A crash MID-serialization leaves <path>.pending without a committed
+    'state' dir (orbax renames state.orbax-checkpoint-tmp -> state only on
+    commit). Recovery must ignore it and keep the previous checkpoint."""
+    import json
+    from pl_convlstm_gan_tpu.train import CheckpointWriter
+    _, tx, state, _ = _tiny_setup()
+    path = str(tmp_path / "ck")
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w = CheckpointWriter()
+    w.save(path, dev, {"epoch": 0, "rmse": 1.0})
+    w.close()
+    pending = path + ".pending"
+    os.makedirs(os.path.join(pending, "state.orbax-checkpoint-tmp"))
+    with open(os.path.join(pending, "host_state.json"), "w") as f:
+        json.dump({"epoch": 1, "rmse": 0.5}, f)
     _, host = restore_checkpoint(path, dev)
     assert host["epoch"] == 0         # previous checkpoint intact
 
