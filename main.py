@@ -25,11 +25,14 @@ def main():
     parser = argparse.ArgumentParser(description="pl-convlstm-gan-tpu training")
     parser.add_argument("--config", type=str, default="default",
                         help="Configuration name (configs/<name>.yaml)")
-    parser.add_argument("--mode", choices=("train", "eval", "predict"),
+    parser.add_argument("--mode",
+                        choices=("train", "eval", "predict", "export"),
                         default="train",
                         help="train; eval: restore a checkpoint and report "
                              "test-split metrics; predict: restore and write "
-                             "model outputs for an input .npy "
+                             "model outputs for an input .npy; export: AOT "
+                             "serving artifact (StableHLO, batch-polymorphic, "
+                             "TPU+CPU) from a checkpoint "
                              "(entries the reference lacks)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="checkpoint dir for --mode eval/predict "
@@ -114,6 +117,37 @@ def main():
             pred = predict(data["rain_lr"], data["dem"], data["lu"])
         np.save(out_path, np.asarray(pred))
         print(f"Predictions {np.asarray(pred).shape} saved to {out_path}")
+    elif args.mode == "export":
+        import numpy as np
+        from pl_convlstm_gan_tpu.serve import export_model
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "model.jaxexport")
+        lu_channels = 0
+        if config.model.family in ("forecaster", "gan"):
+            if args.input:  # sample input fixes the non-batch shapes
+                data = np.load(args.input)
+                frames = (data["frames"]
+                          if isinstance(data, np.lib.npyio.NpzFile) else data)
+                example = (frames[:1],)
+            else:
+                s = config.data.synthetic_image_size
+                example = (np.zeros((1, config.model.input_frames,
+                                     config.model.in_channels, s, s),
+                                    np.float32),)
+        else:
+            if not args.input:
+                raise SystemExit("generator-family export needs --input: an "
+                                 ".npz with rain_lr/dem/lu sample arrays")
+            data = np.load(args.input)
+            example = (data["rain_lr"][:1], data["dem"][:1], data["lu"][:1])
+            lu_channels = data["lu"].shape[1]
+        blob = export_model(config, ckpt, example, lu_channels=lu_channels)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+        print(f"Exported serving artifact ({len(blob)} bytes, "
+              f"batch-polymorphic, tpu+cpu) to {out_path}")
     else:
         trainer.train()
 

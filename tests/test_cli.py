@@ -93,6 +93,21 @@ def test_cli_predict_forecaster_npz(tmp_path):
     assert np.isfinite(pred).all()
 
 
+def test_cli_export_mode(tmp_path):
+    """export mode: checkpoint -> self-contained AOT serving artifact."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.serve import load_exported
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    art = tmp_path / "model.jaxexport"
+    _run_main(["--config", "ci_smoke_seq", "--mode", "export",
+               "--output", str(art)], str(tmp_path))
+    serve = load_exported(art.read_bytes())
+    frames = np.random.default_rng(0).random((3, 2, 1, 16, 16)).astype(np.float32)
+    pred = serve(frames)
+    assert pred.shape == (3, 3, 1, 16, 16)
+    assert np.isfinite(np.asarray(pred)).all()
+
+
 def test_cli_resume_flag(tmp_path, capsys):
     """--resume picks up <output_dir>/latest (restart-based crash recovery);
     with no checkpoint it starts fresh."""

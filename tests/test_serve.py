@@ -1,0 +1,99 @@
+"""AOT serving-export tests: jax.export artifacts round-trip through bytes,
+serve any batch size, and match in-process inference exactly.
+
+The reference has no deployment surface at all (SURVEY.md §0: zero torch.load
+calls); serve.py is the production path beyond predict.load_predictor."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pl_convlstm_gan_tpu.config import load_config
+from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+from pl_convlstm_gan_tpu.predict import build_model, load_predictor
+from pl_convlstm_gan_tpu.serve import export_model, load_exported
+from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
+
+
+def _forecaster_ckpt(tmp_path, config):
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.random(
+        (2, config.model.input_frames, 1, 16, 16)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), sample)
+    path = str(tmp_path / "ckpt")
+    save_checkpoint(path, {"params": params}, {"epoch": 0, "rmse": 1.0})
+    return model, params, sample, path
+
+
+def test_export_roundtrip_matches_inprocess(tmp_path):
+    """serialize -> bytes -> deserialize -> call == model.apply exactly, and
+    the artifact is batch-polymorphic (one export, any request batch)."""
+    config = load_config("ci_smoke_seq")
+    model, params, sample, ckpt = _forecaster_ckpt(tmp_path, config)
+
+    blob = export_model(config, ckpt, (sample[:1],))
+    assert isinstance(blob, bytes) and len(blob) > 0
+
+    serve = load_exported(blob)
+    ref = model.apply(params, sample)
+    np.testing.assert_allclose(np.asarray(serve(sample)), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # different batch size, same artifact — no re-export needed
+    big = jnp.concatenate([sample] * 3, axis=0)[:5]
+    out5 = serve(big)
+    assert out5.shape == (5, config.model.output_frames, 1, 16, 16)
+    np.testing.assert_allclose(np.asarray(out5[:2]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_artifact_is_self_contained(tmp_path):
+    """Serving needs only the bytes: write to disk, read back in a state where
+    neither the checkpoint nor the config is consulted."""
+    config = load_config("ci_smoke_seq")
+    _, params, sample, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob = export_model(config, ckpt, (sample[:1],))
+    art = tmp_path / "model.jaxexport"
+    art.write_bytes(blob)
+
+    import shutil
+    shutil.rmtree(ckpt)  # checkpoint gone: the artifact must not need it
+    serve = load_exported(art.read_bytes())
+    out = serve(sample)
+    assert out.shape == (2, config.model.output_frames, 1, 16, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_export_generator_family(tmp_path):
+    """Generator export: 3-arg predict (rain/dem/lu), matches load_predictor."""
+    config = load_config("ci_smoke")
+    lu_ch = 5
+    model = build_model(config, lu_channels=lu_ch)
+    rng = np.random.default_rng(1)
+    rain = jnp.asarray(rng.random((2, 3, 1, 8, 8)).astype(np.float32))
+    dem = jnp.asarray(rng.random((2, 1, 8, 8)).astype(np.float32))
+    lu = jnp.asarray(rng.random((2, lu_ch, 8, 8)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), rain, dem, lu)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+
+    blob = export_model(config, ckpt, (rain[:1], dem[:1], lu[:1]),
+                        lu_channels=lu_ch)
+    serve = load_exported(blob)
+    ref = load_predictor(config, ckpt, lu_channels=lu_ch)(rain, dem, lu)
+    np.testing.assert_allclose(np.asarray(serve(rain, dem, lu)),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+
+def test_export_static_batch(tmp_path):
+    """batch_polymorphic=False pins the batch dim (smaller search space for
+    XLA; the shape mismatch must fail loudly, not silently recompile)."""
+    import pytest
+    config = load_config("ci_smoke_seq")
+    _, params, sample, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob = export_model(config, ckpt, (sample,), batch_polymorphic=False)
+    serve = load_exported(blob)
+    assert serve(sample).shape[0] == 2
+    with pytest.raises(Exception):
+        jax.block_until_ready(serve(jnp.concatenate([sample] * 2, axis=0)))
