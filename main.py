@@ -44,11 +44,18 @@ def main():
     parser.add_argument("--output", type=str, default=None,
                         help="predict mode: output .npy path "
                              "(default: <output_dir>/predictions.npy)")
+    parser.add_argument("--output-frames", type=int, default=0,
+                        help="predict/export mode, sequence families: serve "
+                             "a different rollout horizon than the checkpoint "
+                             "was trained at (recurrent params are "
+                             "horizon-independent); 0 = config value")
     parser.add_argument("--resume", action="store_true",
                         help="train mode: resume from <output_dir>/latest "
                              "(or best_model) if present — restart-based "
                              "crash recovery")
     args = parser.parse_args()
+    if args.output_frames < 0:
+        raise SystemExit("--output-frames must be positive (0 = config value)")
 
     config = load_config(args.config)
     config.validate()
@@ -106,7 +113,8 @@ def main():
         is_npz = isinstance(data, np.lib.npyio.NpzFile)
         if config.model.family in ("forecaster", "gan"):
             frames = data["frames"] if is_npz else data
-            predict = load_predictor(config, ckpt)
+            predict = load_predictor(config, ckpt,
+                                     output_frames=args.output_frames)
             pred = predict(frames)
         else:
             if not is_npz:
@@ -132,10 +140,12 @@ def main():
                           if isinstance(data, np.lib.npyio.NpzFile) else data)
                 example = (frames[:1],)
             else:
-                s = config.data.synthetic_image_size
-                example = (np.zeros((1, config.model.input_frames,
-                                     config.model.in_channels, s, s),
-                                    np.float32),)
+                # derive the static T/C/H/W from the configured dataset itself
+                # (works for synthetic AND on-disk frames sources — a
+                # synthetic_image_size guess would bake wrong H/W into the
+                # artifact for frames-trained checkpoints)
+                ds = trainer.setup_data()
+                example = (np.asarray(ds[0][0])[None],)
         else:
             if not args.input:
                 raise SystemExit("generator-family export needs --input: an "
@@ -143,7 +153,8 @@ def main():
             data = np.load(args.input)
             example = (data["rain_lr"][:1], data["dem"][:1], data["lu"][:1])
             lu_channels = data["lu"].shape[1]
-        blob = export_model(config, ckpt, example, lu_channels=lu_channels)
+        blob = export_model(config, ckpt, example, lu_channels=lu_channels,
+                            output_frames=args.output_frames)
         with open(out_path, "wb") as f:
             f.write(blob)
         print(f"Exported serving artifact ({len(blob)} bytes, "

@@ -41,7 +41,13 @@ def _ssim_map(pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
     p = p.reshape(-1, h, w, 1).astype(jnp.float32)
     t = t.reshape(-1, h, w, 1).astype(jnp.float32)
 
-    win = jnp.asarray(_gaussian_kernel(window_size, sigma))
+    # frames smaller than the window (e.g. 8x8 coarse tiles) would give a
+    # negative VALID output dim; clamp to the largest odd size that fits
+    # (skimage's win_size rule), keeping the default 11 for normal imagery
+    eff = min(window_size, h, w)
+    if eff % 2 == 0:
+        eff -= 1
+    win = jnp.asarray(_gaussian_kernel(eff, sigma))
     mu_p = _blur(p, win)
     mu_t = _blur(t, win)
     # E[X^2] - E[X]^2 cancels catastrophically in f32 when the signal carries a

@@ -51,6 +51,37 @@ def build_model(config: Config, lu_channels: int = 0,
     return Generator(**kwargs)
 
 
+def build_predict_fn(config: Config, checkpoint_path: str,
+                     lu_channels: int = 0, output_frames: int = 0) -> Callable:
+    """Restore params from `checkpoint_path` and return the UNjitted predict
+    closure — the single builder behind both in-process inference
+    (``load_predictor``) and AOT serving export (``serve.export_model``), so
+    the two deployment paths can never diverge.
+
+    Generator family: fn(rain_lr [B,T,1,H,W], dem, lu) -> [B,T,1,H',W'].
+    Forecaster/GAN:   fn(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W]."""
+    model = build_model(config, lu_channels, output_frames)
+    device_state, _ = restore_checkpoint(checkpoint_path)
+    params = device_state.get("params", device_state.get("gen_params"))
+    if params is None:
+        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
+
+    if config.model.family in ("forecaster", "gan"):
+        def fn(frames):
+            return model.apply(params, frames)
+    else:
+        input_grid_size = (tuple(config.model.input_grid_size)
+                           if config.model.input_grid_size else None)
+
+        def fn(rain_lr, dem, lu):
+            kwargs = {}
+            if input_grid_size is not None:
+                kwargs["input_grid_size"] = input_grid_size
+            return model.apply(params, rain_lr, dem, lu, **kwargs)
+
+    return fn
+
+
 def load_predictor(config: Config, checkpoint_path: str,
                    lu_channels: int = 0, output_frames: int = 0) -> Callable:
     """Restore params from `checkpoint_path` and return a jitted predict fn.
@@ -59,25 +90,5 @@ def load_predictor(config: Config, checkpoint_path: str,
     Forecaster/GAN:   predict(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W];
     `output_frames` serves a different rollout horizon than the checkpoint was
     trained at (recurrent params are horizon-independent)."""
-    model = build_model(config, lu_channels, output_frames)
-    device_state, _ = restore_checkpoint(checkpoint_path)
-    params = device_state.get("params", device_state.get("gen_params"))
-    if params is None:
-        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
-
-    if config.model.family in ("forecaster", "gan"):
-        @jax.jit
-        def predict(frames):
-            return model.apply(params, frames)
-    else:
-        input_grid_size = (tuple(config.model.input_grid_size)
-                           if config.model.input_grid_size else None)
-
-        @jax.jit
-        def predict(rain_lr, dem, lu):
-            kwargs = {}
-            if input_grid_size is not None:
-                kwargs["input_grid_size"] = input_grid_size
-            return model.apply(params, rain_lr, dem, lu, **kwargs)
-
-    return predict
+    return jax.jit(build_predict_fn(config, checkpoint_path,
+                                    lu_channels, output_frames))

@@ -35,8 +35,7 @@ import jax.numpy as jnp
 from jax import export as _jax_export
 
 from .config import Config
-from .predict import build_model
-from .train.checkpoint import restore_checkpoint
+from .predict import build_predict_fn
 
 # TPU first (the deployment target), CPU second (canaries / tests); the
 # artifact carries lowerings for both.
@@ -63,25 +62,7 @@ def export_model(config: Config, checkpoint_path: str, example_args: Sequence,
     they determine the compiled program): forecaster/gan families take
     ``(frames,)``; the generator takes ``(rain_lr, dem, lu)``. Returns the
     serialized artifact bytes for ``load_exported``."""
-    model = build_model(config, lu_channels, output_frames)
-    device_state, _ = restore_checkpoint(checkpoint_path)
-    params = device_state.get("params", device_state.get("gen_params"))
-    if params is None:
-        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
-
-    if config.model.family in ("forecaster", "gan"):
-        def fn(frames):
-            return model.apply(params, frames)
-    else:
-        input_grid_size = (tuple(config.model.input_grid_size)
-                           if config.model.input_grid_size else None)
-
-        def fn(rain_lr, dem, lu):
-            kwargs = {}
-            if input_grid_size is not None:
-                kwargs["input_grid_size"] = input_grid_size
-            return model.apply(params, rain_lr, dem, lu, **kwargs)
-
+    fn = build_predict_fn(config, checkpoint_path, lu_channels, output_frames)
     specs = _example_specs(example_args, batch_polymorphic)
     exported = _jax_export.export(
         jax.jit(fn), platforms=tuple(platforms or DEFAULT_PLATFORMS))(*specs)

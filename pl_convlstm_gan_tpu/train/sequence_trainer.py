@@ -247,9 +247,8 @@ class SequenceTrainer:
             raise ValueError(
                 f"No training batches: dataset has {len(self.train_dataset)} "
                 f"samples < batch_size {self.config.training.batch_size}")
-        stacked = {k: np.asarray([float(m[k]) for m in metrics_acc])
-                   for k in metrics_acc[0]}
-        return {k: float(v.mean()) for k, v in stacked.items()}
+        from .steps import aggregate_epoch_metrics
+        return aggregate_epoch_metrics(metrics_acc)
 
     def train(self):
         import time

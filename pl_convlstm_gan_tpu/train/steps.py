@@ -65,6 +65,27 @@ def _select(pred_ok, new, old):
         lambda n, o: jnp.where(pred_ok, n, o), new, old)
 
 
+def aggregate_epoch_metrics(metrics_acc) -> Dict[str, float]:
+    """Host-side epoch averages over per-batch step metrics, excluding
+    NaN-skipped batches (their metrics are non-finite by construction; one bad
+    batch must not poison the epoch averages that drive best-checkpoint
+    selection and the LR plateau — the reference skips them too,
+    trainer.py:306-308). An all-skipped epoch yields NaN (honestly "no data"):
+    NaN never compares as a new best and counts as a bad plateau epoch,
+    whereas a 0.0 would be mistaken for a perfect new best."""
+    import numpy as np
+    stacked = {k: np.asarray([float(m[k]) for m in metrics_acc])
+               for k in metrics_acc[0]}
+    skipped = int(stacked["skipped"].sum())
+    keep = stacked["skipped"] < 1
+    if skipped:
+        print(f"NaN guard: skipped {skipped} batch updates this epoch")
+    avg = {k: float(v[keep].mean()) if keep.any() else float("nan")
+           for k, v in stacked.items()}
+    avg["skipped"] = float(skipped)
+    return avg
+
+
 # --------------------------------------------------------------------------
 # downscaling generator family (reference parity path)
 # --------------------------------------------------------------------------

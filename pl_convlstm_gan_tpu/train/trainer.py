@@ -269,15 +269,8 @@ class Trainer:
                 f"No training batches: dataset has {len(self.train_dataset)} "
                 f"samples < batch_size {self.config.training.batch_size}")
         # one host sync at epoch end for the aggregates
-        stacked = {k: np.asarray([float(m[k]) for m in epoch_metrics])
-                   for k in epoch_metrics[0]}
-        skipped = int(stacked["skipped"].sum())
-        keep = stacked["skipped"] < 1  # exclude NaN-skipped batches like the reference
-        avg = {k: float(v[keep].mean()) if keep.any() else 0.0
-               for k, v in stacked.items()}
-        if skipped:
-            print(f"NaN guard: skipped {skipped} batch updates this epoch")
-        return avg
+        from .steps import aggregate_epoch_metrics
+        return aggregate_epoch_metrics(epoch_metrics)
 
     def train(self):
         """Full training loop (reference trainer.py:341-449)."""
@@ -316,10 +309,13 @@ class Trainer:
             self.scheduler.step(current_rmse)
 
             if (epoch + 1) % 10 == 0:
-                plot_training_curves(
-                    self.history,
-                    save_path=os.path.join(self.output_dir, "training_curves.png"),
-                    dpi=self.config.output.plot_dpi)
+                from ..utils.metrics_log import is_primary_host
+                if is_primary_host():  # run artifacts are owned by process 0
+                    plot_training_curves(
+                        self.history,
+                        save_path=os.path.join(self.output_dir,
+                                               "training_curves.png"),
+                        dpi=self.config.output.plot_dpi)
 
             should_save = False
             if self.early_stopping is not None:

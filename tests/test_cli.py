@@ -108,6 +108,22 @@ def test_cli_export_mode(tmp_path):
     assert np.isfinite(np.asarray(pred)).all()
 
 
+def test_cli_predict_output_frames_override(tmp_path):
+    """--output-frames serves a longer horizon than the checkpoint was
+    trained at (recurrent params are horizon-independent)."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    frames = np.random.default_rng(0).random((2, 2, 1, 16, 16)).astype(np.float32)
+    np.save(tmp_path / "in.npy", frames)
+    _run_main(["--config", "ci_smoke_seq", "--mode", "predict",
+               "--output-frames", "7",
+               "--input", str(tmp_path / "in.npy"),
+               "--output", str(tmp_path / "out.npy")], str(tmp_path))
+    pred = np.load(tmp_path / "out.npy")
+    assert pred.shape == (2, 7, 1, 16, 16)
+    assert np.isfinite(pred).all()
+
+
 def test_cli_resume_flag(tmp_path, capsys):
     """--resume picks up <output_dir>/latest (restart-based crash recovery);
     with no checkpoint it starts fresh."""

@@ -247,6 +247,17 @@ def test_ssim_finite_with_large_offsets():
     assert (np.abs(np.asarray(v2)) <= 1.5).all()
 
 
+def test_ssim_frames_smaller_than_window():
+    """Frames below the 11x11 window (e.g. 8x8 coarse tiles) must clamp the
+    window instead of tracing a negative VALID output dim."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((2, 3, 1, 8, 8)).astype(np.float32))
+    assert float(ssim(x, x)) == pytest.approx(1.0, abs=1e-5)
+    y = jnp.asarray(rng.random((2, 3, 1, 8, 8)).astype(np.float32))
+    v = float(ssim(x, y))
+    assert np.isfinite(v) and -1.0 <= v <= 1.0
+
+
 def test_ssim_bounded_under_covariance_cancellation():
     """The covariance term suffers the same f32 cancellation as the variances:
     offset 350 + texture of amplitude ~1e-3 makes the clamped variances ~0

@@ -61,6 +61,23 @@ def test_train_step_nan_skip():
     assert int(new_state.step) == 1
 
 
+def test_epoch_aggregation_excludes_skipped_batches():
+    """Both trainers aggregate epochs through aggregate_epoch_metrics: a
+    NaN-skipped batch must not poison the averages, and an ALL-skipped epoch
+    must yield NaN (not 0.0 — which would read as a perfect new best)."""
+    from pl_convlstm_gan_tpu.train.steps import aggregate_epoch_metrics
+    good = {"total": 2.0, "rmse": 1.0, "skipped": 0}
+    bad = {"total": float("nan"), "rmse": float("inf"), "skipped": 1}
+    avg = aggregate_epoch_metrics([good, bad, good])
+    assert avg["total"] == pytest.approx(2.0)
+    assert avg["rmse"] == pytest.approx(1.0)
+    assert avg["skipped"] == 1.0
+    all_bad = aggregate_epoch_metrics([bad, bad])
+    assert np.isnan(all_bad["total"]) and np.isnan(all_bad["rmse"])
+    # NaN never registers as an improvement downstream
+    assert not (all_bad["rmse"] < 1e9)
+
+
 def test_dynamic_lr_no_recompile():
     model, tx, state, batch = _tiny_setup()
     step = make_generator_train_step(model.apply, tx, LOSS_CFG)
