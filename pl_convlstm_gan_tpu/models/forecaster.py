@@ -64,6 +64,9 @@ class ConvLSTMForecaster(nn.Module):
     convlstm_impl: str = "xla"
     remat: bool = False   # rematerialize the scan body: O(1) activation memory in T
     scan_unroll: int = 1  # lax.scan unroll factor (cross-step fusion headroom)
+    # split the AD-transposed (backward) scan into two scans — an XLA
+    # scheduling lever on the bwd pass, which dominates the train step
+    scan_split_transpose: bool = False
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -115,7 +118,8 @@ class ConvLSTMForecaster(nn.Module):
                        variable_broadcast="params",
                        split_rngs={"params": False},
                        in_axes=0, out_axes=0,
-                       unroll=self.scan_unroll)(
+                       unroll=self.scan_unroll,
+                       _split_transpose=self.scan_split_transpose)(
             hidden_dims=tuple(self.hidden_dims), out_channels=c,
             kernel_size=self.kernel_size, impl=self.convlstm_impl,
             dtype=cdtype, param_dtype=self.param_dtype, name="core")

@@ -227,3 +227,23 @@ def test_forecaster_scan_unroll_equivalent(rng):
     o1 = m1.apply(params, frames)
     o2 = m2.apply(params, frames)
     np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+
+
+def test_forecaster_split_transpose_equivalent(rng):
+    """scan_split_transpose restructures only the AD-transposed scan; forward
+    AND gradients must be unchanged (measured perf-neutral on TPU —
+    experiments/split_transpose_bench.py)."""
+    frames = jnp.asarray(rng.standard_normal((1, 3, 1, 8, 8), dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((1, 4, 1, 8, 8), dtype=np.float32))
+    m1 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4)
+    m2 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4,
+                            scan_split_transpose=True)
+    params = m1.init(jax.random.PRNGKey(0), frames)
+    np.testing.assert_allclose(np.asarray(m1.apply(params, frames)),
+                               np.asarray(m2.apply(params, frames)), atol=1e-6)
+    loss = lambda m: (lambda p: jnp.abs(m.apply(p, frames) - tgt).mean())
+    g1 = jax.grad(loss(m1))(params)
+    g2 = jax.grad(loss(m2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
