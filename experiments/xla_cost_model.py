@@ -1,0 +1,95 @@
+"""XLA cost-model attribution of the bench train step (no trace needed).
+
+``jax.profiler`` traces hang through the axon tunnel, so round-1/2 FLOP
+numbers were hand-computed. This experiment reads XLA's OWN cost model off the
+compiled executables (`utils.profiling.compiled_cost`) for the bench workload's
+forward and train step, and combines it with measured steady-state step times
+for achieved TFLOP/s / HBM GB/s / arithmetic intensity.
+
+Run: python experiments/xla_cost_model.py   (TPU; warm cache makes it fast)
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+
+from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+from pl_convlstm_gan_tpu.train import (TrainState, make_forecaster_train_step,
+                                       make_optimizer)
+from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained, compiled_cost
+
+# bench.py headline workload
+BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE)).astype(np.float32))
+    targets = jnp.asarray(rng.random((BATCH, T_OUT, 1, SIZE, SIZE)).astype(np.float32))
+
+    model = ConvLSTMForecaster(hidden_dims=HIDDEN, input_frames=T_IN,
+                               output_frames=T_OUT, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), inputs)
+    tx = make_optimizer(0.5)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_forecaster_train_step(model.apply, tx)
+    lr, tf, key = jnp.asarray(1e-3), jnp.asarray(0.0), jax.random.PRNGKey(1)
+
+    fwd_cost = compiled_cost(lambda p, x: model.apply(p, x), params, inputs)
+    step_cost = compiled_cost(
+        lambda st, batch: step(st, batch, lr, tf, key)[0], state,
+        (inputs, targets))
+
+    # measured steady-state times (chained, one sync — see bench.py)
+    def chain_step(st):
+        st, _ = step(st, (inputs, targets), lr, tf, key)
+        return st
+
+    for _ in range(2):
+        state, m = step(state, (inputs, targets), lr, tf, key)
+        _ = float(m["total"])
+    res = benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                            chain=10, iters=10)
+    t_step = res["p50"]
+
+    infer = jax.jit(lambda p, x: model.apply(p, x))
+    ires = benchmark_chained(lambda _: infer(res["state"].params, inputs), None,
+                             fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                             chain=10, iters=10)
+    t_fwd = ires["p50"]
+
+    # CAVEAT (measured r2): XLA's cost model counts a while-loop (lax.scan)
+    # body ONCE, not x trip count. The bench programs are ~all-scan (14 steps:
+    # T_in + T_out - 1), so the trip-adjusted estimate is ~raw x 14 — and
+    # indeed raw fwd 0.062 TFLOP x 14 = 0.87 TFLOP, matching the hand-computed
+    # 0.81 TFLOP in experiments/ablate_train_step.py. Report both.
+    trips = T_IN + T_OUT - 1
+    for name, cost, t in (("forward (rollout)", fwd_cost, t_fwd),
+                          ("train step", step_cost, t_step)):
+        print(f"\n== {name}: measured p50 {t*1e3:.1f} ms")
+        print(f"  XLA cost model (scan body counted once): "
+              f"{cost['flops']/1e12:.3f} TFLOP, "
+              f"{cost['bytes_accessed']/1e9:.2f} GB accessed, "
+              f"intensity {cost['arithmetic_intensity']:.0f} flop/byte")
+        print(f"  scan-adjusted (~x{trips}): {cost['flops']*trips/1e12:.2f} TFLOP "
+              f"-> {cost['flops']*trips/t/1e12:.1f} TFLOP/s achieved, "
+              f"{cost['bytes_accessed']*trips/t/1e9:.0f} GB/s HBM (modeled)")
+        if "temp_size_bytes" in cost:
+            print(f"  temp (live activations) {cost['temp_size_bytes']/1e6:.0f} MB, "
+                  f"args {cost['argument_size_bytes']/1e6:.0f} MB")
+
+
+if __name__ == "__main__":
+    main()

@@ -138,6 +138,9 @@ class DebugConfig:
     tracing and jit-disable for step-through debugging."""
     nans: bool = False           # jax.config jax_debug_nans
     disable_jit: bool = False    # run ops eagerly for debugging
+    # print the compiled train step's FLOP/HBM/live-memory attribution (XLA
+    # cost model) on the first step — works where profiler traces don't
+    log_compiled_cost: bool = False
 
 
 def _filtered(cls, d: Dict[str, Any]) -> Dict[str, Any]:

@@ -226,6 +226,15 @@ class SequenceTrainer:
         for i, batch in enumerate(self._loader(self.train_dataset, shuffle=True,
                                                epoch=epoch)):
             rng, step_rng = jax.random.split(rng)
+            if i == 0 and epoch == self.start_epoch and \
+                    self.config.debug.log_compiled_cost:
+                from ..utils.profiling import log_compiled_cost
+                fam = "gan" if self.is_gan else "forecaster"
+                extra = ((jnp.asarray(self.disc_lr, jnp.float32),)
+                         if self.is_gan else ())
+                log_compiled_cost(f"{fam} train step", self.train_step,
+                                  self.state, batch, lr, *extra, tf_prob,
+                                  step_rng)
             if self.is_gan:
                 self.state, m = self.train_step(
                     self.state, batch, lr, jnp.asarray(self.disc_lr, jnp.float32),

@@ -256,6 +256,11 @@ class Trainer:
         lr = jnp.asarray(self.scheduler.lr, jnp.float32)
         for i, batch in enumerate(self._loader(self.train_dataset, shuffle=True,
                                                epoch=epoch)):
+            if i == 0 and epoch == self.start_epoch and \
+                    self.config.debug.log_compiled_cost:
+                from ..utils.profiling import log_compiled_cost
+                log_compiled_cost("generator train step", self.train_step,
+                                  self.state, batch, lr)
             self.state, metrics = self.train_step(self.state, batch, lr)
             epoch_metrics.append(metrics)
             if i % log_interval == 0:

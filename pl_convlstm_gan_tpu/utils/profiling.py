@@ -87,3 +87,51 @@ def profile_trace(logdir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, float]:
+    """Static cost attribution of a jitted function from XLA's own cost model.
+
+    Lowers + compiles ``fn`` for the given abstract args and reads the
+    compiled executable's cost/memory analysis — no execution, no trace
+    (``jax.profiler`` does not work through the axon tunnel; this does, because
+    the analysis is client-side on the compiled program).
+
+    Returns flops, bytes_accessed (HBM traffic as modeled by XLA),
+    arithmetic intensity (flops/byte), and peak temp/argument/output sizes.
+    Combine with a measured step time for achieved TFLOP/s and HBM GB/s:
+    ``flops / t / 1e12``, ``bytes_accessed / t / 1e9``.
+    """
+    jitted = fn if hasattr(fn, "lower") else jax.jit(fn)  # accept jitted fns
+    compiled = jitted.lower(*args, **kwargs).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):  # older jax returns [dict]
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    out = {"flops": flops, "bytes_accessed": byts,
+           "arithmetic_intensity": flops / byts if byts else float("nan")}
+    mem = compiled.memory_analysis()
+    if mem is not None:
+        out.update(
+            argument_size_bytes=float(mem.argument_size_in_bytes),
+            output_size_bytes=float(mem.output_size_in_bytes),
+            temp_size_bytes=float(mem.temp_size_in_bytes),
+        )
+    return out
+
+
+def log_compiled_cost(label: str, fn: Callable, *args, **kwargs) -> None:
+    """One-line cost summary of a (jitted) step fn — the trainers call this on
+    the first step when ``debug.log_compiled_cost`` is set. Never raises: the
+    cost model's availability varies by backend."""
+    try:
+        c = compiled_cost(fn, *args, **kwargs)
+    except Exception as e:  # pragma: no cover - backend-dependent
+        print(f"[cost] {label}: cost model unavailable ({e})")
+        return
+    temp = c.get("temp_size_bytes", 0.0)
+    print(f"[cost] {label}: {c['flops']/1e9:.2f} GFLOP "
+          f"(scan bodies counted once), "
+          f"{c['bytes_accessed']/1e6:.0f} MB accessed, "
+          f"live temp {temp/1e6:.0f} MB")

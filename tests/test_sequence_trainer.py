@@ -25,9 +25,12 @@ def _cfg(tmp_path, family, epochs=2, **training_extra):
     })
 
 
-def test_forecaster_trainer_smoke(tmp_path):
-    t = SequenceTrainer(config=_cfg(tmp_path, "forecaster"))
+def test_forecaster_trainer_smoke(tmp_path, capsys):
+    cfg = _cfg(tmp_path, "forecaster")
+    cfg.debug.log_compiled_cost = True
+    t = SequenceTrainer(config=cfg)
     history = t.train()
+    assert "[cost] forecaster train step:" in capsys.readouterr().out
     assert len(history["epoch"]) == 2
     assert all(np.isfinite(history["total_loss"]))
     assert len(history["val_ssim"]) == 2

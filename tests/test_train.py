@@ -153,10 +153,14 @@ def _tiny_config(tmp_path, epochs=2):
     })
 
 
-def test_trainer_end_to_end_smoke(tmp_path):
-    """Tiny full train(): losses recorded, best checkpoint written, plots saved."""
-    trainer = Trainer(config=_tiny_config(tmp_path))
+def test_trainer_end_to_end_smoke(tmp_path, capsys):
+    """Tiny full train(): losses recorded, best checkpoint written, plots saved.
+    Also exercises debug.log_compiled_cost on the (DP, shard_map) train step."""
+    cfg = _tiny_config(tmp_path)
+    cfg.debug.log_compiled_cost = True
+    trainer = Trainer(config=cfg)
     history = trainer.train()
+    assert "[cost] generator train step:" in capsys.readouterr().out
     assert len(history["epoch"]) == 2
     assert all(np.isfinite(history["total_loss"]))
     out = str(tmp_path / "out")

@@ -67,3 +67,29 @@ def test_sanitize_json_strict():
     s = json.dumps(out, allow_nan=False)   # raises if any non-finite remained
     assert json.loads(s) == {"a": None, "b": [1.0, None], "c": {"d": 2},
                              "e": "x"}
+
+
+def test_compiled_cost_matmul():
+    """XLA cost-model attribution: a K x K matmul must report ~2K^3 flops and
+    positive modeled HBM traffic (the tunnel-safe substitute for profiler
+    traces — experiments/xla_cost_model.py)."""
+    from pl_convlstm_gan_tpu.utils.profiling import compiled_cost
+
+    k = 64
+    cost = compiled_cost(lambda a, b: a @ b, jnp.ones((k, k)), jnp.ones((k, k)))
+    assert cost["flops"] >= 2 * k**3 * 0.9
+    assert cost["bytes_accessed"] > 0
+    assert cost["arithmetic_intensity"] > 0
+
+
+def test_log_compiled_cost_prints(capsys):
+    """The debug.log_compiled_cost hook prints one [cost] line and never
+    raises, including on an already-jitted fn (the trainers pass their built
+    train_step directly)."""
+    from pl_convlstm_gan_tpu.utils.profiling import log_compiled_cost
+
+    step = jax.jit(lambda s, x: s + x.sum())
+    log_compiled_cost("toy step", step, jnp.zeros(()), jnp.ones((4, 4)))
+    out = capsys.readouterr().out
+    assert out.startswith("[cost] toy step:")
+    assert "MB accessed" in out
