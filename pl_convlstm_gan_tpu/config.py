@@ -58,6 +58,7 @@ class ModelConfig:
     kernel_size: int = 3
     convlstm_impl: str = "auto"    # "auto" | "xla" | "pallas"
     remat: bool = False            # rematerialized scan body (O(1) memory in T)
+    remat_policy: str = ""         # "" (full) | "save_z" | "dots" (selective)
     scan_unroll: int = 1           # lax.scan unroll (measured: 1 is fastest)
     # generator: hoist cell1's x-side conv out of the scan (measured negative
     # at current shapes — see docs/design.md; kept as an opt-in experiment)

@@ -63,6 +63,11 @@ class ConvLSTMForecaster(nn.Module):
     kernel_size: int = 3
     convlstm_impl: str = "xla"
     remat: bool = False   # rematerialize the scan body: O(1) activation memory in T
+    # selective remat policy (only with remat=True): "" = save nothing (full
+    # recompute); "save_z" = save each cell's conv pre-activation and recompute
+    # only the elementwise gates in the backward — cuts stored-activation HBM
+    # traffic without re-running the convs; "dots" = jax dots_saveable
+    remat_policy: str = ""
     scan_unroll: int = 1  # lax.scan unroll factor (cross-step fusion headroom)
     # split the AD-transposed (backward) scan into two scans — an XLA
     # scheduling lever on the bwd pass, which dominates the train step
@@ -113,7 +118,17 @@ class ConvLSTMForecaster(nn.Module):
         # long-sequence scaling (SURVEY.md §5): scan keeps compiled size O(1) in T;
         # remat additionally drops per-step activations and recomputes them in the
         # backward pass — memory O(1) in rollout length.
-        body = nn.remat(_StackedStepCore) if self.remat else _StackedStepCore
+        if self.remat:
+            policies = {
+                "": None,
+                "save_z": jax.checkpoint_policies.save_only_these_names(
+                    "convlstm_z"),
+                "dots": jax.checkpoint_policies.dots_saveable,
+            }
+            body = nn.remat(_StackedStepCore,
+                            policy=policies[self.remat_policy])
+        else:
+            body = _StackedStepCore
         core = nn.scan(body,
                        variable_broadcast="params",
                        split_rngs={"params": False},

@@ -18,6 +18,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from .nn import conv2d
 
@@ -51,6 +52,10 @@ def convlstm_step_xla(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
     """One ConvLSTM step via XLA conv. x: [B,H,W,Cin], h/c: [B,H,W,Ch]."""
     xh = jnp.concatenate([x, h], axis=-1)
     z = conv2d(xh, params.kernel, params.bias, padding="SAME")
+    # selective-remat anchor: with remat_policy="save_z" the scan body saves
+    # ONLY this conv pre-activation and recomputes the cheap elementwise gates
+    # in the backward — identity op outside any jax.checkpoint context
+    z = checkpoint_name(z, "convlstm_z")
     return convlstm_gates(z, c)
 
 

@@ -116,7 +116,8 @@ class SequenceTrainer:
             output_frames=mc.output_frames, in_channels=mc.in_channels,
             kernel_size=mc.kernel_size,
             convlstm_impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
-            remat=mc.remat, scan_unroll=mc.scan_unroll, dtype=dtype)
+            remat=mc.remat, remat_policy=mc.remat_policy,
+            scan_unroll=mc.scan_unroll, dtype=dtype)
 
         b = tc.batch_size
         ds = dataset or getattr(self, "_full_dataset", None)

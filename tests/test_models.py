@@ -247,3 +247,24 @@ def test_forecaster_split_transpose_equivalent(rng):
     for a, b in zip(jax.tree_util.tree_leaves(g1),
                     jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("policy", ["", "save_z", "dots"])
+def test_forecaster_remat_policy_equivalent(rng, policy):
+    """Selective remat policies (save-only-conv-preactivations, dots_saveable)
+    change only WHAT the backward stores vs recomputes; forward and gradients
+    must match the no-remat model exactly."""
+    frames = jnp.asarray(rng.standard_normal((1, 3, 1, 8, 8), dtype=np.float32))
+    tgt = jnp.asarray(rng.standard_normal((1, 4, 1, 8, 8), dtype=np.float32))
+    m1 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4)
+    m2 = ConvLSTMForecaster(hidden_dims=(8,), input_frames=3, output_frames=4,
+                            remat=True, remat_policy=policy)
+    params = m1.init(jax.random.PRNGKey(0), frames)
+    np.testing.assert_allclose(np.asarray(m1.apply(params, frames)),
+                               np.asarray(m2.apply(params, frames)), atol=1e-6)
+    loss = lambda m: (lambda p: jnp.abs(m.apply(p, frames) - tgt).mean())
+    g1 = jax.grad(loss(m1))(params)
+    g2 = jax.grad(loss(m2))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
