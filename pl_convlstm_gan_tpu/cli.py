@@ -1,0 +1,174 @@
+"""Console entry point — mirrors the reference CLI (``/root/reference/main.py:11-24``):
+``pl-convlstm-gan-tpu --config <name>`` (or ``python main.py --config <name>`` from a
+checkout) builds a trainer, validates the config, trains.
+
+The config's ``model.family`` selects the trainer: "generator" (downscaling parity
+path) uses ``Trainer``; "forecaster"/"gan" (north-star sequence-prediction families)
+use ``SequenceTrainer``. Extra modes the reference lacks: eval / predict / export,
+plus ``--resume`` crash recovery."""
+import argparse
+import os
+
+
+def _setup_compile_cache():
+    """Persistent XLA compilation cache (first run pays the compile, reruns are
+    warm). Must run before anything touches the jax backend; skipped on CPU
+    (AOT cache entries there are machine-feature sensitive)."""
+    import jax
+    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.expanduser("~/.cache/jax_comp"))
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def main():
+    _setup_compile_cache()
+    from pl_convlstm_gan_tpu.config import load_config
+    from pl_convlstm_gan_tpu.train.trainer import Trainer
+    from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+
+    parser = argparse.ArgumentParser(description="pl-convlstm-gan-tpu training")
+    parser.add_argument("--config", type=str, default="default",
+                        help="Configuration name (configs/<name>.yaml) or a "
+                             "direct path to a .yaml file")
+    parser.add_argument("--mode",
+                        choices=("train", "eval", "predict", "export"),
+                        default="train",
+                        help="train; eval: restore a checkpoint and report "
+                             "test-split metrics; predict: restore and write "
+                             "model outputs for an input .npy; export: AOT "
+                             "serving artifact (StableHLO, batch-polymorphic, "
+                             "TPU+CPU) from a checkpoint "
+                             "(entries the reference lacks)")
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="checkpoint dir for --mode eval/predict "
+                             "(default: <output_dir>/best_model)")
+    parser.add_argument("--input", type=str, default=None,
+                        help="predict mode: input .npy — frames "
+                             "[B,T_in,C,H,W] for forecaster/gan; for the "
+                             "generator, an .npz with rain_lr/dem/lu arrays")
+    parser.add_argument("--output", type=str, default=None,
+                        help="predict mode: output .npy path "
+                             "(default: <output_dir>/predictions.npy)")
+    parser.add_argument("--output-frames", type=int, default=0,
+                        help="predict/export mode, sequence families: serve "
+                             "a different rollout horizon than the checkpoint "
+                             "was trained at (recurrent params are "
+                             "horizon-independent); 0 = config value")
+    parser.add_argument("--resume", action="store_true",
+                        help="train mode: resume from <output_dir>/latest "
+                             "(or best_model) if present — restart-based "
+                             "crash recovery")
+    args = parser.parse_args()
+    if args.output_frames < 0:
+        raise SystemExit("--output-frames must be positive (0 = config value)")
+
+    config = load_config(args.config)
+    config.validate()
+    config.apply_debug_flags()
+
+    # multi-host bootstrap (no-op on single-host; SURVEY.md §2.2). Must run
+    # BEFORE anything touches the jax backend (e.g. recover_checkpoint_dir):
+    # jax.distributed.initialize raises once the backend is up, and the resume
+    # recovery below relies on process_index gating + barriers so that exactly
+    # one host mutates the shared checkpoint directories.
+    from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()
+
+    if args.resume and not config.training.resume_from:
+        from pl_convlstm_gan_tpu.train.checkpoint import recover_checkpoint_dir
+        for name in ("latest", "best_model"):
+            ckpt = os.path.join(config.output.output_dir, name)
+            # also recovers a checkpoint stranded at <ckpt>.old (crash
+            # mid-promotion) or fully serialized at <ckpt>.pending (crash
+            # after serialization, before promotion)
+            if recover_checkpoint_dir(ckpt):
+                config.training.resume_from = ckpt
+                print(f"Resuming from {ckpt}")
+                break
+        else:
+            print("--resume: no checkpoint found, starting fresh")
+
+    if config.model.family in ("forecaster", "gan"):
+        trainer = SequenceTrainer(config=config)
+    else:
+        trainer = Trainer(config=config)
+
+    if args.mode == "eval":
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        ds = trainer.setup_data()
+        trainer.setup_model(ds) if not isinstance(trainer, SequenceTrainer) \
+            else trainer.setup_model()
+        trainer.restore(ckpt)
+        metrics = trainer.evaluate_test()
+        print(f"Test metrics: {metrics}")
+    elif args.mode == "predict":
+        import numpy as np
+        from pl_convlstm_gan_tpu.predict import load_predictor
+        if not args.input:
+            raise SystemExit("--mode predict requires --input")
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "predictions.npy")
+        # dispatch on the model family (not the file extension): forecaster/gan
+        # take a frames array (.npy, or .npz with a 'frames' key); the
+        # generator takes an .npz with rain_lr/dem/lu arrays.
+        data = np.load(args.input)
+        is_npz = isinstance(data, np.lib.npyio.NpzFile)
+        if config.model.family in ("forecaster", "gan"):
+            frames = data["frames"] if is_npz else data
+            predict = load_predictor(config, ckpt,
+                                     output_frames=args.output_frames)
+            pred = predict(frames)
+        else:
+            if not is_npz:
+                raise SystemExit("generator-family predict needs an .npz with "
+                                 "rain_lr/dem/lu arrays")
+            predict = load_predictor(config, ckpt,
+                                     lu_channels=data["lu"].shape[1])
+            pred = predict(data["rain_lr"], data["dem"], data["lu"])
+        np.save(out_path, np.asarray(pred))
+        print(f"Predictions {np.asarray(pred).shape} saved to {out_path}")
+    elif args.mode == "export":
+        import numpy as np
+        from pl_convlstm_gan_tpu.serve import export_model
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "model.jaxexport")
+        lu_channels = 0
+        if config.model.family in ("forecaster", "gan"):
+            if args.input:  # sample input fixes the non-batch shapes
+                data = np.load(args.input)
+                frames = (data["frames"]
+                          if isinstance(data, np.lib.npyio.NpzFile) else data)
+                example = (frames[:1],)
+            else:
+                # derive the static T/C/H/W from the configured dataset itself
+                # (works for synthetic AND on-disk frames sources — a
+                # synthetic_image_size guess would bake wrong H/W into the
+                # artifact for frames-trained checkpoints)
+                ds = trainer.setup_data()
+                example = (np.asarray(ds[0][0])[None],)
+        else:
+            if not args.input:
+                raise SystemExit("generator-family export needs --input: an "
+                                 ".npz with rain_lr/dem/lu sample arrays")
+            data = np.load(args.input)
+            example = (data["rain_lr"][:1], data["dem"][:1], data["lu"][:1])
+            lu_channels = data["lu"].shape[1]
+        blob = export_model(config, ckpt, example, lu_channels=lu_channels,
+                            output_frames=args.output_frames)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+        print(f"Exported serving artifact ({len(blob)} bytes, "
+              f"batch-polymorphic, tpu+cpu) to {out_path}")
+    else:
+        trainer.train()
+
+
+if __name__ == "__main__":
+    main()

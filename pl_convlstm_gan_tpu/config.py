@@ -222,7 +222,13 @@ def config_dir() -> str:
 
 def load_config(config_name: str = "default") -> Config:
     """Load ``configs/<name>.yaml`` with CONFIG_NAME env fallback
-    (reference: src/config.py:122-132)."""
+    (reference: src/config.py:122-132). A name ending in ``.yaml``/``.yml`` is
+    treated as a direct file path instead — the route for installed (pip)
+    deployments where the repo's ``configs/`` directory isn't on disk."""
+    if config_name.endswith((".yaml", ".yml")):
+        if not os.path.exists(config_name):
+            raise FileNotFoundError(f"config file not found: {config_name}")
+        return Config.from_yaml(config_name)
     path = os.path.join(config_dir(), f"{config_name}.yaml")
     if not os.path.exists(path):
         env_config = os.getenv("CONFIG_NAME", "default")

@@ -60,3 +60,24 @@ def test_env_fallback(tmp_path, monkeypatch):
     monkeypatch.setenv("CONFIG_NAME", "gan_64")
     cfg = load_config("definitely_not_a_config")
     assert cfg.model.family == "gan"
+
+
+def test_load_config_direct_path(tmp_path):
+    """A --config value ending in .yaml is loaded as a file path (the route
+    for installed deployments without the repo's configs/ dir)."""
+    from pl_convlstm_gan_tpu.config import Config, load_config
+    p = tmp_path / "my.yaml"
+    cfg = Config()
+    cfg.model.family = "forecaster"
+    cfg.to_yaml(str(p))
+    loaded = load_config(str(p))
+    assert loaded.model.family == "forecaster"
+    import pytest
+    with pytest.raises(FileNotFoundError):
+        load_config(str(tmp_path / "missing.yaml"))
+
+
+def test_console_entry_point_target():
+    """pyproject's console script points at a real callable."""
+    from pl_convlstm_gan_tpu.cli import main
+    assert callable(main)
