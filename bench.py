@@ -31,14 +31,8 @@ HIDDEN = (64, 64)
 
 def bench_jax(iters: int) -> dict:
     import jax
-    # persistent compilation cache: the first bench run on a machine pays the
-    # (minutes-long, tunnel-bound) XLA compile; subsequent runs start warm.
-    # (TPU only — CPU AOT cache entries are machine-feature sensitive.)
-    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+    setup_compile_cache()
     import jax.numpy as jnp
     from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
     from pl_convlstm_gan_tpu.train import (TrainState, make_forecaster_train_step,

@@ -16,11 +16,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+
+setup_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -35,13 +33,13 @@ LOSS_CFG = dict(lambda_point=1.0, lambda_conserve=1.0, lambda_smooth=0.1,
 
 def bench_case(split, b, t, lr_size, scale, hidden, iters, chain, dtype):
     rng = np.random.default_rng(0)
-    rain = jnp.asarray(rng.random((b, t, 1, lr_size, lr_size), np.float32()))
+    rain = jnp.asarray(rng.random((b, t, 1, lr_size, lr_size), np.float32))
     dem = jnp.asarray(rng.random((b, 1, lr_size * scale, lr_size * scale),
-                                 np.float32()))
+                                 np.float32))
     lu = jnp.asarray(rng.random((b, 4, lr_size * scale, lr_size * scale),
-                                np.float32()))
+                                np.float32))
     coords = jnp.asarray(rng.integers(0, lr_size, (8, 2)))
-    vals = jnp.asarray(np.abs(rng.random((b, t, 8), np.float32())) * 10)
+    vals = jnp.asarray(np.abs(rng.random((b, t, 8), np.float32)) * 10)
     batch = (rain, dem, lu, coords, vals)
 
     model = Generator(hidden_dims=hidden, lu_channels=4, scale_factor=scale,

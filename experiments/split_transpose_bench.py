@@ -36,11 +36,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
-if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/jax_comp"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+
+setup_compile_cache()
 
 import jax.numpy as jnp  # noqa: E402
 

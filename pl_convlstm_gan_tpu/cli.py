@@ -10,20 +10,10 @@ import argparse
 import os
 
 
-def _setup_compile_cache():
-    """Persistent XLA compilation cache (first run pays the compile, reruns are
-    warm). Must run before anything touches the jax backend; skipped on CPU
-    (AOT cache entries there are machine-feature sensitive)."""
-    import jax
-    if os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.expanduser("~/.cache/jax_comp"))
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-
-
 def main():
-    _setup_compile_cache()
+    # persistent XLA compile cache — must run before the backend is touched
+    from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+    setup_compile_cache()
     from pl_convlstm_gan_tpu.config import load_config
     from pl_convlstm_gan_tpu.train.trainer import Trainer
     from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer

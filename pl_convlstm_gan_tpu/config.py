@@ -214,6 +214,19 @@ class Config:
             raise ValueError(f"Unknown model family: {self.model.family}")
         if self.precision.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unknown compute dtype: {self.precision.compute_dtype}")
+        if self.model.remat_policy not in ("", "save_z", "dots"):
+            raise ValueError(
+                f"Unknown remat_policy: {self.model.remat_policy!r} "
+                f"(valid: '', 'save_z', 'dots')")
+        if self.model.remat_policy and not self.model.remat:
+            print("Warning: model.remat_policy is set but model.remat is "
+                  "false — the policy has no effect without remat: true")
+        if self.model.remat_policy == "save_z" and \
+                self.model.convlstm_impl == "pallas":
+            raise ValueError(
+                "remat_policy 'save_z' requires convlstm_impl 'xla': the "
+                "pallas cell does not tag its conv pre-activations, so the "
+                "policy would silently degrade to full recompute")
 
 
 def config_dir() -> str:

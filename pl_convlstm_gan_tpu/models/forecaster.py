@@ -125,6 +125,15 @@ class ConvLSTMForecaster(nn.Module):
                     "convlstm_z"),
                 "dots": jax.checkpoint_policies.dots_saveable,
             }
+            if self.remat_policy not in policies:
+                raise ValueError(
+                    f"Unknown remat_policy: {self.remat_policy!r} "
+                    f"(valid: {sorted(policies)})")
+            if self.remat_policy == "save_z" and self.convlstm_impl == "pallas":
+                raise ValueError(
+                    "remat_policy 'save_z' requires convlstm_impl 'xla': the "
+                    "pallas cell does not tag its conv pre-activations, so "
+                    "the policy would silently degrade to full recompute")
             body = nn.remat(_StackedStepCore,
                             policy=policies[self.remat_policy])
         else:

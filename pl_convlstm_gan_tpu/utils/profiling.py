@@ -4,11 +4,25 @@ this is the TPU-build equivalent)."""
 from __future__ import annotations
 
 import contextlib
+import os
 import time
 from typing import Callable, Dict
 
 import jax
 import numpy as np
+
+
+def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
+    """Enable the persistent XLA compilation cache — first run pays the
+    (tunnel-bound, minutes-long) compile, reruns start warm. Call BEFORE
+    anything touches the jax backend. No-op on CPU, where AOT cache entries
+    are machine-feature sensitive."""
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        return
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(cache_dir))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 class Timer:
@@ -124,7 +138,13 @@ def compiled_cost(fn: Callable, *args, **kwargs) -> Dict[str, float]:
 def log_compiled_cost(label: str, fn: Callable, *args, **kwargs) -> None:
     """One-line cost summary of a (jitted) step fn — the trainers call this on
     the first step when ``debug.log_compiled_cost`` is set. Never raises: the
-    cost model's availability varies by backend."""
+    cost model's availability varies by backend.
+
+    Cost note: the AOT ``lower().compile()`` here does not populate the jit
+    dispatch cache, so the first real step still compiles separately — with
+    the persistent compilation cache enabled (main.py) the second compile is
+    a disk hit, but a cold cache pays the full compile twice. Acceptable for
+    an opt-in debug flag; don't enable it in tight CI loops."""
     try:
         c = compiled_cost(fn, *args, **kwargs)
     except Exception as e:  # pragma: no cover - backend-dependent

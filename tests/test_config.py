@@ -81,3 +81,21 @@ def test_console_entry_point_target():
     """pyproject's console script points at a real callable."""
     from pl_convlstm_gan_tpu.cli import main
     assert callable(main)
+
+
+def test_remat_policy_validation():
+    """validate() rejects unknown remat_policy values and the save_z+pallas
+    combination (which would silently degrade to full recompute)."""
+    import pytest
+    from pl_convlstm_gan_tpu.config import Config
+    cfg = Config()
+    cfg.model.remat = True
+    cfg.model.remat_policy = "save_z_typo"
+    with pytest.raises(ValueError, match="remat_policy"):
+        cfg.validate()
+    cfg.model.remat_policy = "save_z"
+    cfg.model.convlstm_impl = "pallas"
+    with pytest.raises(ValueError, match="pallas"):
+        cfg.validate()
+    cfg.model.convlstm_impl = "xla"
+    cfg.validate()

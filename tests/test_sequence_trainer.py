@@ -30,7 +30,11 @@ def test_forecaster_trainer_smoke(tmp_path, capsys):
     cfg.debug.log_compiled_cost = True
     t = SequenceTrainer(config=cfg)
     history = t.train()
-    assert "[cost] forecaster train step:" in capsys.readouterr().out
+    cost_line = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("[cost] forecaster train step:")]
+    # "MB accessed" only appears on success — the unavailable-fallback line
+    # must not satisfy this test
+    assert cost_line and "MB accessed" in cost_line[0]
     assert len(history["epoch"]) == 2
     assert all(np.isfinite(history["total_loss"]))
     assert len(history["val_ssim"]) == 2
