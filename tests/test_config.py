@@ -99,3 +99,16 @@ def test_remat_policy_validation():
         cfg.validate()
     cfg.model.convlstm_impl = "xla"
     cfg.validate()
+
+
+def test_tool_entry_point_targets():
+    """Every console script in pyproject points at an importable callable."""
+    import importlib
+    import tomllib
+    with open(os.path.join(os.path.dirname(__file__), "..",
+                           "pyproject.toml"), "rb") as f:
+        scripts = tomllib.load(f)["project"]["scripts"]
+    assert len(scripts) >= 6
+    for target in scripts.values():
+        mod, fn = target.split(":")
+        assert callable(getattr(importlib.import_module(mod), fn)), target
