@@ -125,8 +125,29 @@ class FenheDataset:
                 self.lucc_years = np.load(year_mapping_path)
             else:
                 self.lucc_years = np.arange(start_year, end_year + 1)
+            if len(self.lucc_years) != self.lucc_multiyear.shape[0]:
+                raise ValueError(
+                    f"Multi-year LUCC has {self.lucc_multiyear.shape[0]} "
+                    f"layers but the year mapping covers "
+                    f"{len(self.lucc_years)} years "
+                    f"({self.lucc_years[0]}..{self.lucc_years[-1]}). Provide "
+                    f"a lucc_year_mapping.npy (tools/merge_multiyear.py "
+                    f"writes one) when layers are not one-per-calendar-year.")
             self.lucc_onehot_list = [lucc_to_onehot(self.lucc_multiyear[i])
                                      for i in range(len(self.lucc_years))]
+            # reference semantics (fenhe_dataset.py:107-121): each year is
+            # one-hot over its OWN unique nonzero classes. If class sets
+            # differ across years, channel k means different things per year
+            # (and differing counts would crash batch stacking) — fail fast
+            # with a real explanation instead.
+            class_sets = [tuple(np.unique(l[l != 0]))
+                          for l in self.lucc_multiyear]
+            if len(set(class_sets)) > 1:
+                raise ValueError(
+                    "LUCC class sets differ across years "
+                    f"({dict(zip(map(int, self.lucc_years), class_sets))}); "
+                    "per-year one-hot channels would be inconsistent. "
+                    "Harmonize the rasters (tools/merge_multiyear.py) first.")
             self._build_day_to_year_idx(start_year, end_year)
         else:
             self.lucc = lucc_data.astype(int)
@@ -192,6 +213,10 @@ class FenheDataset:
         for _, row in df_meta.iterrows():
             st_id = int(row[col_id])
             lat, lon = row[col_lat], row[col_lon]
+            # int() truncation toward zero matches the reference exactly
+            # (fenhe_dataset.py:151-152, parity-pinned): a coordinate a hair
+            # outside the extent truncates to 0 and is KEPT at the edge cell
+            # rather than skipped — reference-faithful by design.
             r_idx = int((max_lat - lat) / (max_lat - min_lat) * (rows_total - 1))
             c_idx = int((lon - min_lon) / (max_lon - min_lon) * (cols_total - 1))
             if not (0 <= r_idx < rows_total and 0 <= c_idx < cols_total):
@@ -209,6 +234,15 @@ class FenheDataset:
             raise ValueError("No valid stations found within grid bounds!")
         stacked = np.nan_to_num(np.stack(val_list, axis=1).astype(np.float32),
                                 nan=0.0, posinf=0.0, neginf=0.0)
+        # a station table with missing/duplicate days would silently shift
+        # every observation after the gap against rain_lr's day axis (and
+        # ragged-slice the last windows) — hard-fail instead
+        if stacked.shape[0] != self.rain_lr.shape[0]:
+            raise ValueError(
+                f"Station table covers {stacked.shape[0]} days but rain_lr "
+                f"has {self.rain_lr.shape[0]}: the daily series must align "
+                f"one-to-one with the rain grid (check for missing or "
+                f"duplicated dates in {station_path})")
         return np.asarray(coords, dtype=np.int64), stacked
 
     def __len__(self) -> int:

@@ -97,7 +97,10 @@ def make_grain_loader(dataset, batch_size: int, shuffle: bool = False, seed: int
     `batch_size` is the GLOBAL batch size; under multi-host DP each host's
     pipeline reads a disjoint interleaved shard of the dataset and emits its
     per-host slice (batch_size / process_count items) of every global batch —
-    ``prefetch_to_device`` assembles the global sharded array."""
+    ``prefetch_to_device`` assembles the global sharded array.
+
+    ``num_epochs``: 1 (default) = one pass; None = endless stream (grain's
+    ``repeat(None)`` convention) for step-count-driven loops."""
     import grain
 
     pi = jax.process_index() if process_index is None else process_index
@@ -123,7 +126,8 @@ def make_grain_loader(dataset, batch_size: int, shuffle: bool = False, seed: int
         ds = ds.shuffle(seed=seed)
     if common is not None:
         ds = ds[:common]
-    if num_epochs is not None and num_epochs != 1:
+    # grain convention: repeat(None) = endless stream; 1 = single pass
+    if num_epochs is None or num_epochs != 1:
         ds = ds.repeat(num_epochs)
     ds = ds.batch(local_bs, drop_remainder=drop_remainder, batch_fn=_stack)
     if worker_count > 0:

@@ -82,6 +82,24 @@ def prepare_station_batch(s_coords: jnp.ndarray, s_values: jnp.ndarray, batch: i
     return coords, values
 
 
+def _stations_pred_obs_mask(pred: jnp.ndarray, s_coords: jnp.ndarray,
+                            s_values: jnp.ndarray, scale_factor,
+                            batch_mask: jnp.ndarray | None):
+    """Shared station prep for the point loss AND station RMSE: gather pred at
+    scaled station pixels, NaN-mask observations, fold in the bounds mask and
+    optional eval batch mask. Returns (pred_at [B,T,N], obs [B,T,N], mask)."""
+    b, t, _, h, w = pred.shape
+    pred_vals = pred[:, :, 0, :, :]
+    coords, values = prepare_station_batch(s_coords, s_values, b)
+    rows, cols, station_valid = _station_pixel_indices(coords, scale_factor, h, w)
+    pred_at = _gather_stations(pred_vals, rows, cols)            # [B, T, N]
+    mask = ((~jnp.isnan(values)) & station_valid[None, None, :]).astype(
+        pred_at.dtype)
+    if batch_mask is not None:
+        mask = mask * batch_mask.astype(mask.dtype)[:, None, None]
+    return pred_at, jnp.nan_to_num(values, nan=0.0), mask
+
+
 def point_supervision_sums(pred: jnp.ndarray, s_coords: jnp.ndarray,
                            s_values: jnp.ndarray, scale_factor=1.0,
                            use_weighted_loss: bool = True,
@@ -91,18 +109,8 @@ def point_supervision_sums(pred: jnp.ndarray, s_coords: jnp.ndarray,
 
     The sum form lets eval aggregate exactly across batches (batch-size-invariant
     metrics) and lets `batch_mask` [B] zero out wrap-padded eval rows inside jit."""
-    b, t, _, h, w = pred.shape
-    pred_vals = pred[:, :, 0, :, :]
-    coords, values = prepare_station_batch(s_coords, s_values, b)
-    rows, cols, station_valid = _station_pixel_indices(coords, scale_factor, h, w)
-
-    pred_at = _gather_stations(pred_vals, rows, cols)            # [B, T, N]
-    obs_ok = ~jnp.isnan(values)
-    mask = (obs_ok & station_valid[None, None, :]).astype(pred_at.dtype)
-    if batch_mask is not None:
-        mask = mask * batch_mask.astype(mask.dtype)[:, None, None]
-    obs = jnp.nan_to_num(values, nan=0.0)
-
+    pred_at, obs, mask = _stations_pred_obs_mask(pred, s_coords, s_values,
+                                                 scale_factor, batch_mask)
     weights = compute_sample_weights(obs, use_weighted_loss, weight_strategy)
     per_elem = jnp.abs(pred_at - obs) * weights * mask
     return per_elem.sum(), mask.sum()
@@ -203,16 +211,8 @@ def station_sq_err_sums(pred: jnp.ndarray, s_coords: jnp.ndarray,
                         batch_mask: jnp.ndarray | None = None):
     """(squared-error sum, valid-entry count) at station pixels — the sum form
     of station_rmse for exact cross-batch aggregation (rmse = sqrt(num/cnt))."""
-    b, t, _, h, w = pred.shape
-    pred_vals = pred[:, :, 0, :, :]
-    coords, values = prepare_station_batch(s_coords, s_values, b)
-    rows, cols, station_valid = _station_pixel_indices(coords, scale_factor, h, w)
-    pred_at = _gather_stations(pred_vals, rows, cols)
-    mask = ((~jnp.isnan(values)) & station_valid[None, None, :]).astype(
-        pred_at.dtype)
-    if batch_mask is not None:
-        mask = mask * batch_mask.astype(mask.dtype)[:, None, None]
-    obs = jnp.nan_to_num(values, nan=0.0)
+    pred_at, obs, mask = _stations_pred_obs_mask(pred, s_coords, s_values,
+                                                 scale_factor, batch_mask)
     se = jnp.square(pred_at - obs) * mask
     return se.sum(), mask.sum()
 

@@ -29,9 +29,11 @@ def contingency_counts(pred: jnp.ndarray, target: jnp.ndarray, threshold: float,
     if batch_mask is None:
         return tuple(jnp.sum(s) for s in stats)
     b = pred.shape[0]
-    m = batch_mask.astype(jnp.float32)
-    return tuple((s.reshape(b, -1).sum(axis=1).astype(jnp.float32) * m).sum()
-                 for s in stats)
+    # integer accumulation: float32 loses count exactness above 2^24 pixels
+    # per batch, which would break the exact cross-batch-size aggregation the
+    # eval path guarantees (host sums these in float64)
+    m = batch_mask.astype(jnp.int32)
+    return tuple((s.reshape(b, -1).sum(axis=1) * m).sum() for s in stats)
 
 
 def _safe(num, den):

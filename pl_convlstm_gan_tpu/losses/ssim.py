@@ -62,7 +62,13 @@ def _ssim_map(pred: jnp.ndarray, target: jnp.ndarray, data_range: float,
     # variance clamps and can put |num| >> den (SSIM ~ 20 instead of ~1 on
     # offset-dominated windows). Cauchy-Schwarz bounds the true value:
     # |cov| <= sqrt(var_p * var_t) — clamp to that, keeping SSIM in [-1, 1].
-    cov_bound = jnp.sqrt(mu_pp * mu_tt)
+    # double-where guards sqrt's infinite derivative at 0: constant/blank
+    # windows (zero variance) are ubiquitous in nowcasting, and a bare sqrt
+    # would make jax.grad return NaN there the moment ssim is used as a
+    # training loss term (it is exported for exactly that).
+    var_prod = mu_pp * mu_tt
+    safe_prod = jnp.where(var_prod > 0, var_prod, 1.0)
+    cov_bound = jnp.where(var_prod > 0, jnp.sqrt(safe_prod), 0.0)
     mu_pt = jnp.clip(mu_pt, -cov_bound, cov_bound)
 
     c1 = (k1 * data_range) ** 2

@@ -61,14 +61,19 @@ def test_negative_repair_chain():
     assert out3[0] == 0.0
 
 
-def _fenhe_fixture(tmp_path, num_years=2, start_year=2012, multiyear_lucc=True):
+def _fenhe_fixture(tmp_path, num_years=2, start_year=2012, multiyear_lucc=True,
+                   drop_station_rows=0, lucc_layers=None,
+                   second_year_classes=None):
     rng = np.random.default_rng(0)
     days = sum(days_in_year(start_year + i) for i in range(num_years))
     h, w, hs, ws = 6, 5, 12, 10
     np.save(tmp_path / "rain.npy", rng.random((days, h, w)).astype(np.float32))
     np.save(tmp_path / "dem.npy", rng.random((hs, ws)).astype(np.float32) * 2000)
     if multiyear_lucc:
-        lucc = rng.integers(1, 4, (num_years, hs, ws))
+        layers = num_years if lucc_layers is None else lucc_layers
+        lucc = rng.integers(1, 4, (layers, hs, ws))
+        if second_year_classes is not None and layers > 1:
+            lucc[1] = rng.choice(second_year_classes, (hs, ws))
     else:
         lucc = rng.integers(1, 4, (hs, ws))
     np.save(tmp_path / "lucc.npy", lucc)
@@ -93,6 +98,8 @@ def _fenhe_fixture(tmp_path, num_years=2, start_year=2012, multiyear_lucc=True):
         "1002": rng.random(days).astype(np.float32) * 10,
     })
     rain.iloc[5, rain.columns.get_loc("1001")] = -3.0   # trigger repair
+    if drop_station_rows:
+        rain = rain.iloc[:-drop_station_rows]
     rain.to_csv(tmp_path / "rain_stations.csv", index=False)
     return FenheDataset(
         rain_lr_path=str(tmp_path / "rain.npy"), dem_path=str(tmp_path / "dem.npy"),
@@ -282,3 +289,37 @@ def test_grain_loader_equal_batch_counts_across_hosts():
         for b in batches:
             assert b[0].shape[0] == 4  # local batch = global / process_count
     assert counts[0] == counts[1] == 1  # floor(15/2)=7 -> 1 local batch of 4
+
+
+def test_fenhe_station_day_mismatch_raises(tmp_path):
+    """A station table whose day count disagrees with rain_lr's day axis must
+    hard-fail (silent misalignment would shift supervision by one day)."""
+    import pandas as pd
+    with pytest.raises(ValueError, match="days"):
+        _fenhe_fixture(tmp_path, drop_station_rows=1)
+
+
+def test_fenhe_multiyear_lucc_layer_count_mismatch_raises(tmp_path):
+    """Multi-year LUCC with fewer layers than the year span (no mapping file)
+    must raise with a pointer to lucc_year_mapping.npy, not IndexError."""
+    with pytest.raises(ValueError, match="lucc_year_mapping"):
+        _fenhe_fixture(tmp_path, lucc_layers=1)
+
+
+def test_fenhe_lucc_class_set_mismatch_raises(tmp_path):
+    """Years with differing LUCC class sets would make one-hot channel k mean
+    different classes per year — fail fast."""
+    with pytest.raises(ValueError, match="class sets"):
+        _fenhe_fixture(tmp_path, second_year_classes=(1, 2))
+
+
+def test_grain_loader_num_epochs_none_is_endless(tmp_path):
+    """num_epochs=None follows grain's repeat(None) convention: an endless
+    stream, not a silent single epoch."""
+    ds = _fenhe_fixture(tmp_path)
+    from itertools import islice
+    loader = make_grain_loader(ds, batch_size=8, num_epochs=None,
+                               shard_by_process=False)
+    per_epoch = len(ds) // 8
+    batches = list(islice(iter(loader), per_epoch + 3))
+    assert len(batches) == per_epoch + 3

@@ -269,3 +269,18 @@ def test_ssim_bounded_under_covariance_cancellation():
     v = float(ssim(jnp.asarray(p), jnp.asarray(t)))
     assert np.isfinite(v)
     assert -1.0 - 1e-4 <= v <= 1.0 + 1e-4
+
+
+def test_ssim_gradient_finite_on_constant_windows():
+    """sqrt's derivative is infinite at zero variance; the double-where guard
+    must keep gradients finite on blank/constant frames (ubiquitous in
+    nowcasting) so ssim is safe as a training-loss term."""
+    pred = jnp.zeros((1, 16, 16))
+    tgt = jnp.zeros((1, 16, 16))
+    g = jax.grad(lambda p: ssim(p, tgt))(pred)
+    assert np.isfinite(np.asarray(g)).all()
+    # and on half-constant images (mixed zero/nonzero-variance windows)
+    tgt2 = jnp.asarray(np.pad(np.ones((1, 8, 16), np.float32),
+                              ((0, 0), (0, 8), (0, 0))))
+    g2 = jax.grad(lambda p: ssim(p, tgt2))(pred)
+    assert np.isfinite(np.asarray(g2)).all()
