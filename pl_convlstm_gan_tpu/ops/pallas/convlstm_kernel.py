@@ -95,7 +95,7 @@ def _pick_row_tile(hgt: int) -> int:
 def _vmem_bytes(hgt, wid, cx, ch, k, row_tile, save_z, itemsize=4):
     c_in = cx + ch
     pad = 2 * (k // 2)
-    blocks = (hgt * wid * (cx + 3 * ch)) * itemsize          # x, h, c, hn, cn
+    blocks = (hgt * wid * (cx + 4 * ch)) * itemsize          # x + h, c, hn, cn
     if save_z:
         blocks += hgt * wid * 4 * ch * itemsize
     scratch = (hgt + pad) * (wid + pad) * c_in * itemsize
@@ -105,6 +105,10 @@ def _vmem_bytes(hgt, wid, cx, ch, k, row_tile, save_z, itemsize=4):
 
 
 def pallas_step_fits(hgt, wid, cx, ch, k=3, itemsize=4) -> bool:
+    # deliberately conservative: requires the save_z=True (training) footprint
+    # even for forward-only use, so a shape admitted here can always be
+    # differentiated through without outgrowing VMEM mid-training. Costs only
+    # an XLA fallback for inference-only shapes in the slack band.
     rt = _pick_row_tile(hgt)
     if _vmem_bytes(hgt, wid, cx, ch, k, rt, save_z=True,
                    itemsize=itemsize) <= _VMEM_BUDGET:
@@ -134,8 +138,7 @@ def _run_kernel(kernel_hwio, bias, x, h, c, save_z: bool):
 
     out_shapes = [jax.ShapeDtypeStruct((b, hgt, wid, ch), dtype),
                   jax.ShapeDtypeStruct((b, hgt, wid, ch), dtype),
-                  jax.ShapeDtypeStruct((b, hgt, wid, 4 * ch),
-                                       dtype if save_z else dtype)]
+                  jax.ShapeDtypeStruct((b, hgt, wid, 4 * ch), dtype)]
     out_specs = [batch_block(ch), batch_block(ch), batch_block(4 * ch)]
     if not save_z:
         out_shapes = out_shapes[:2]
@@ -215,7 +218,10 @@ def _tiled_kernel_body(xh_ref, c_tile, w_ref, b_ref, hn_ref, cn_ref, z_ref,
 
 def _tiled_vmem_bytes(wid, cx, ch, tile_h, itemsize=4):
     c_in = cx + ch
-    scratch = (tile_h + 2) * (wid + 2) * c_in * itemsize
+    # scratch width matches the kernel's DMA band: wid+2 rounded up to the
+    # 8-sublane tile (wpad in _run_kernel_tiled), not the raw wid+2
+    wpad = -((-(wid + 2)) // 8) * 8
+    scratch = (tile_h + 2) * wpad * c_in * itemsize
     im2col = tile_h * wid * 9 * c_in * itemsize
     acc = tile_h * wid * 4 * ch * 4
     z = tile_h * wid * 4 * ch * itemsize
@@ -244,7 +250,12 @@ def _run_kernel_tiled(kernel_hwio, bias, x, h, c, save_z: bool):
     dtype = x.dtype
     tile_h = _pick_tiled_tile(hgt, wid, cx, ch, jnp.dtype(dtype).itemsize)
     if tile_h is None:
-        tile_h = _TILE_H  # caller guaranteed fit; defensive default
+        # a silent default would write only a subset of output rows (garbage
+        # numerics); the dispatcher should never route an unfitting shape here
+        raise ValueError(
+            f"row-tiled pallas cell has no fitting tile for shape "
+            f"H={hgt} W={wid} Cin={cx} Ch={ch} (H must divide by 8 or 16 "
+            f"and the band must fit VMEM) — use convlstm_impl 'xla'")
 
     w9 = kernel_hwio.reshape(9 * c_in, 4 * ch)
     b2 = bias.reshape(1, 4 * ch)
@@ -318,11 +329,11 @@ def convlstm_step_pallas_core(kernel_hwio, bias, x, h, c):
 
 def _fwd(kernel_hwio, bias, x, h, c):
     hn, cn, z = _dispatch(kernel_hwio, bias, x, h, c, save_z=True)
-    return (hn, cn), (kernel_hwio, x, h, c, z, cn)
+    return (hn, cn), (kernel_hwio, bias, x, h, c, z, cn)
 
 
 def _bwd(res, grads):
-    kernel_hwio, x, h, c, z, c_next = res
+    kernel_hwio, bias, x, h, c, z, c_next = res
     dh_next, dc_next = grads
     ch = c.shape[-1]
     k = kernel_hwio.shape[0]
@@ -344,17 +355,21 @@ def _bwd(res, grads):
 
     dz = jnp.concatenate([di * i * (1 - i), df * f * (1 - f),
                           do * o * (1 - o), dg * (1 - g * g)], axis=-1)
-    dz = dz.astype(x.dtype)
+    # both backward convs run in f32 (uniform operand dtype even when primal
+    # dtypes differ — f32 params with bf16 activations — plus f32
+    # accumulation); cotangents cast to each primal's dtype at the edges
+    dz = dz.astype(jnp.float32)
 
-    xh = jnp.concatenate([x, h], axis=-1)
+    xh = jnp.concatenate([x, h], axis=-1).astype(jnp.float32)
     # input grad: conv with spatially-mirrored kernel, in/out channels swapped
     w_flip = jnp.flip(kernel_hwio, axis=(0, 1)).transpose(0, 1, 3, 2)
     dxh = lax.conv_general_dilated(
-        dz, w_flip, (1, 1), "SAME",
+        dz, w_flip.astype(jnp.float32), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32).astype(x.dtype)
+        preferred_element_type=jnp.float32)
     cx = x.shape[-1]
-    dx, dh_prev = dxh[..., :cx], dxh[..., cx:]
+    dx = dxh[..., :cx].astype(x.dtype)
+    dh_prev = dxh[..., cx:].astype(h.dtype)
 
     # weight grad: correlate input patches with output grads
     dw = lax.conv_general_dilated(
@@ -365,7 +380,7 @@ def _bwd(res, grads):
         preferred_element_type=jnp.float32)
     dw = dw.transpose(1, 2, 0, 3).astype(kernel_hwio.dtype)   # -> HWIO
 
-    db = dz.astype(jnp.float32).sum(axis=(0, 1, 2)).astype(x.dtype)
+    db = dz.sum(axis=(0, 1, 2)).astype(bias.dtype)
     return dw, db, dx, dh_prev, dc_prev.astype(c.dtype)
 
 

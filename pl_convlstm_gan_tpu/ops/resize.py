@@ -93,7 +93,9 @@ def resize_area(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
         lead = x.shape[:-3]
         c = x.shape[-1]
         y = x.reshape(*lead, out_h, fh, out_w, fw, c)
-        return y.mean(axis=(-4, -2))
+        # accumulate in f32 so bf16 inputs get the same precision on this
+        # path as on the matrix path below (which upcasts and casts back)
+        return y.mean(axis=(-4, -2), dtype=jnp.float32).astype(x.dtype)
     return _apply_separable(x, _area_matrix(out_h, h), _area_matrix(out_w, w))
 
 

@@ -19,11 +19,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_init_distributed() -> None:
     """Initialize jax.distributed when launched in a multi-host environment
-    (coordinator env vars present) — no-op otherwise."""
-    if jax.process_count() > 1:
-        return  # already initialized
-    if os.environ.get("COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+    (coordinator env vars present) — no-op otherwise.
+
+    The already-initialized check must NOT touch the backend:
+    ``jax.process_count()`` would initialize XLA and make the subsequent
+    ``jax.distributed.initialize()`` raise unconditionally, bricking every
+    multi-host launch. ``jax.distributed.is_initialized()`` only inspects
+    client state."""
+    if jax.distributed.is_initialized():
+        return
+    addr = os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    kwargs = {"coordinator_address": addr}
+    # on TPU pods/SLURM jax auto-detects process id/count; for generic hosts
+    # (e.g. the CPU multi-process test) pass them explicitly when provided
+    if os.environ.get("NUM_PROCESSES") and os.environ.get("PROCESS_ID"):
+        kwargs.update(num_processes=int(os.environ["NUM_PROCESSES"]),
+                      process_id=int(os.environ["PROCESS_ID"]))
+    jax.distributed.initialize(**kwargs)
 
 
 def make_mesh(data_axis_size: int = 0, axis_name: str = "data",

@@ -19,8 +19,17 @@ os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.distributed.initialize(coordinator_address=f"localhost:{port}",
-                           num_processes=nproc, process_id=pid)
+# go through the PRODUCTION bootstrap path: this is the regression test that
+# maybe_init_distributed does not touch the XLA backend before initialize()
+# (jax.process_count() there would make initialize raise unconditionally)
+os.environ["COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["NUM_PROCESSES"] = str(nproc)
+os.environ["PROCESS_ID"] = str(pid)
+
+from pl_convlstm_gan_tpu.parallel.mesh import maybe_init_distributed  # noqa: E402
+
+maybe_init_distributed()
+assert jax.distributed.is_initialized()
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

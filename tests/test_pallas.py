@@ -115,3 +115,22 @@ def test_tiled_kernel_parity(rng):
     np.testing.assert_allclose(np.asarray(cn), np.asarray(c_ref), atol=1e-5)
     # the flagship bench shape must be coverable by the tiled path (bf16)
     assert pallas_tiled_fits(128, 128, 64, 64, itemsize=2)
+
+
+def test_gradient_mixed_dtypes(rng):
+    """f32 params with bf16 activations (no caller pre-cast): the custom_vjp
+    backward must return cotangents matching each primal's dtype."""
+    params, x, h, c = _make(rng, b=1, hgt=8, wid=8, cx=3, ch=4)
+    xb, hb, cb = (a.astype(jnp.bfloat16) for a in (x, h, c))
+
+    def loss(kern, bias, x_, h_, c_):
+        hn, cn = convlstm_step_pallas(ConvLSTMParams(kern, bias), x_, h_, c_)
+        return jnp.sum(hn.astype(jnp.float32)) + jnp.sum(cn.astype(jnp.float32))
+
+    g = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(params.kernel, params.bias,
+                                                xb, hb, cb)
+    assert g[0].dtype == params.kernel.dtype     # f32
+    assert g[1].dtype == params.bias.dtype       # f32
+    assert g[2].dtype == jnp.bfloat16 and g[3].dtype == jnp.bfloat16
+    for a in g:
+        assert np.isfinite(np.asarray(a, np.float32)).all()
