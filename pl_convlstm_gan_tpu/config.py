@@ -227,6 +227,16 @@ class Config:
                 "remat_policy 'save_z' requires convlstm_impl 'xla': the "
                 "pallas cell does not tag its conv pre-activations, so the "
                 "policy would silently degrade to full recompute")
+        if self.model.split_precompute and self.model.convlstm_impl == "pallas":
+            raise ValueError(
+                "split_precompute requires convlstm_impl 'xla': the "
+                "split-input cell has no pallas variant, so cell1 would "
+                "silently run the XLA path while benchmarks claim pallas")
+        if self.model.target_grid_size and not self.model.input_grid_size:
+            raise ValueError(
+                "model.target_grid_size requires model.input_grid_size — "
+                "without it the generator silently falls back to scale 1 "
+                "(no upsampling at all)")
 
 
 def config_dir() -> str:

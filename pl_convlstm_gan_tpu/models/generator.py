@@ -213,21 +213,24 @@ class Generator(nn.Module):
         if target_size is not None:
             feat = resize_bilinear(feat, final_h, final_w)
 
-        # covariates to final size: DEM bilinear, LUCC nearest (generator.py:143-153),
-        # tiled over T to align with the merged (T*B) batch.
+        # covariates to final size: DEM bilinear, LUCC nearest (generator.py:143-153).
+        # The attention gates depend only on the per-B covariates, so they are
+        # computed ONCE over B and broadcast over the time axis — tiling the
+        # covariates to (T*B) would materialize T redundant copies and run the
+        # gate convs T-fold for identical results.
         dem_hr = resize_bilinear(jnp.transpose(dem, (0, 2, 3, 1)).astype(cdtype),
                                  final_h, final_w)
         lu_hr = resize_nearest(jnp.transpose(lu, (0, 2, 3, 1)).astype(cdtype),
                                final_h, final_w)
-        dem_hr = jnp.tile(dem_hr, (t, 1, 1, 1))
-        lu_hr = jnp.tile(lu_hr, (t, 1, 1, 1))
 
+        feat = feat.reshape(t, b, final_h, final_w, hd[-1])
         feat = GatedCovariateAttention(hd[-1], dtype=cdtype,
                                        param_dtype=self.param_dtype,
                                        name="dem_attn")(feat, dem_hr)
         feat = GatedCovariateAttention(hd[-1], dtype=cdtype,
                                        param_dtype=self.param_dtype,
                                        name="lu_attn")(feat, lu_hr)
+        feat = feat.reshape(t * b, final_h, final_w, hd[-1])
 
         out = Conv2dTorch(32, (3, 3), padding=1, dtype=cdtype,
                           param_dtype=self.param_dtype, name="post_conv1")(feat)

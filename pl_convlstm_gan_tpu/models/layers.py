@@ -127,7 +127,14 @@ class UpsampleBlock(nn.Module):
 
 class GatedCovariateAttention(nn.Module):
     """x * sigmoid(conv1x1(relu(conv3x3(cov)))) multiplicative gating
-    (reference: src/models/attention.py:3-26; DEM and LUCC variants share the shape)."""
+    (reference: src/models/attention.py:3-26; DEM and LUCC variants share the
+    shape).
+
+    The gate depends only on the covariate, so when ``x`` carries one extra
+    leading (time) axis over ``cov`` — features [T, B, H, W, C] against a
+    static per-sample covariate [B, H, W, Cc] — the gate is computed ONCE over
+    B and broadcast over T, instead of tiling the covariate T-fold (exact:
+    the convs are per-sample)."""
     features: int
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
@@ -139,4 +146,7 @@ class GatedCovariateAttention(nn.Module):
         a = nn.relu(a)
         a = Conv2dTorch(self.features, (1, 1), padding=0, dtype=self.dtype,
                         param_dtype=self.param_dtype, name="conv_gate")(a)
-        return x * nn.sigmoid(a)
+        gate = nn.sigmoid(a)
+        if x.ndim == cov.ndim + 1:   # time-major features, static covariate
+            gate = gate[None]
+        return x * gate

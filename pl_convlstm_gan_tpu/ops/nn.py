@@ -58,3 +58,8 @@ def torch_bias_init(fan_in: int):
 def hwio_from_oihw(kernel_oihw: np.ndarray) -> np.ndarray:
     """Convert a torch Conv2d weight [O, I, Kh, Kw] to HWIO for our conv wrapper."""
     return np.transpose(kernel_oihw, (2, 3, 1, 0))
+
+
+def oihw_from_hwio(kernel_hwio: np.ndarray) -> np.ndarray:
+    """Inverse of ``hwio_from_oihw``: HWIO -> torch Conv2d OIHW."""
+    return np.transpose(kernel_hwio, (3, 2, 0, 1))

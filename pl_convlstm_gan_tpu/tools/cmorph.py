@@ -11,8 +11,11 @@ QC, and TWO daily accumulation systems:
 exporting npy + per-system CSV and a comparison plot.
 
 Requires: xarray, regionmask, geopandas (lazy imports; not TPU-host deps).
-Usage: python -m pl_convlstm_gan_tpu.tools.cmorph --nc-glob 'cmorph_*.nc' \
-           --shp fenhe.shp --out-dir data/processed/daily --year 2012
+Usage: python -m pl_convlstm_gan_tpu.tools.cmorph \
+           --nc-glob 'cmorph_{year}_*.nc' --shp fenhe.shp \
+           --out-dir data/processed/daily --start-year 2012 --end-year 2021
+(the '{year}' placeholder is substituted per year; required when processing
+more than one year so each year reads its own files)
 """
 from __future__ import annotations
 
@@ -76,6 +79,13 @@ def daily_accumulations(values, times, year: int) -> dict:
     t, h, w = values.shape
     df = pd.DataFrame(values.reshape(t, h * w),
                       index=pd.DatetimeIndex(times))
+    df = df[~df.index.duplicated(keep="first")]
+    # reindex to the CONTINUOUS hourly range so shift(-12) moves by 12 HOURS
+    # even when source hours are missing: a gap becomes NaN rows that
+    # min_count=24 turns into NaN days, instead of positionally misaligning
+    # every 20-20 window after the gap. (The reference shifts the raw index,
+    # reference cmorph.py:114 — silently wrong after any missing hour.)
+    df = df.reindex(pd.date_range(df.index.min(), df.index.max(), freq="h"))
     daily = {
         "hydro_08-08": df.resample("1D").sum(min_count=24),
         "cma_20-20": df.shift(-12).resample("1D").sum(min_count=24),
@@ -189,6 +199,11 @@ def main():
     p.add_argument("--end-year", type=int, default=2021)
     p.add_argument("--no-plot", action="store_true")
     args = p.parse_args()
+    if args.end_year > args.start_year and "{year}" not in args.nc_glob:
+        raise SystemExit(
+            "--nc-glob needs a '{year}' placeholder when processing multiple "
+            "years — otherwise every year would re-read the same files under "
+            "the wrong year label")
     for year in range(args.start_year, args.end_year + 1):
         glob_y = args.nc_glob.format(year=year)
         process_cmorph_to_fenhe(glob_y, args.shp, args.out_dir, year,

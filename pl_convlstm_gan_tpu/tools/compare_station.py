@@ -55,7 +55,7 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
     """Per-station metrics for each accumulation system + summary CSV
     (reference :120-250)."""
     import pandas as pd
-    from .station import read_station_meta, read_rain
+    from .station import read_station_meta, read_rain_series
 
     os.makedirs(out_dir, exist_ok=True)
     meta = read_station_meta(meta_path)
@@ -64,7 +64,7 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
     rows = []
     for st_id, (lon, lat) in meta.items():
         try:
-            obs = read_rain(rain_path, st_id, start_year, end_year)
+            obs = read_rain_series(rain_path, st_id, start_year, end_year)
         except KeyError:
             continue
         row = {"station": st_id, "lon": lon, "lat": lat}
@@ -72,11 +72,16 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
         rmses = {}
         for name, (times, lats, lons, vals) in systems.items():
             cell = nearest_cell(lats, lons, lat, lon)
-            sat = vals[:, cell]
-            ncmp = min(len(obs), len(sat))
-            m = compute_metrics(obs[:ncmp], sat[:ncmp])
+            # align by TIMESTAMP (reference compute_metrics joins on the
+            # series index, :66-69): a missing day in either table drops that
+            # day only — positional truncation would silently offset every
+            # later day against the wrong date
+            sat = pd.Series(vals[:, cell], index=times)
+            joined = pd.concat({"obs": obs, "sat": sat}, axis=1, join="inner")
+            m = compute_metrics(joined["obs"].to_numpy(),
+                                joined["sat"].to_numpy())
             row.update({f"{name}_{k}": v for k, v in m.items()})
-            series_for_plot[name] = sat[:ncmp]
+            series_for_plot[name] = (joined.index, joined["sat"].to_numpy())
             if not np.isnan(m["rmse"]):
                 rmses[name] = m["rmse"]
         # lowest-RMSE system per station (reference :177-179 'better_system';
@@ -100,18 +105,19 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
     return summary
 
 
-def _station_plot(st_id: int, obs: np.ndarray, systems: Dict[str, np.ndarray],
-                  out_dir: str):
-    """Per-station obs-vs-satellite timeseries (reference :79-96)."""
+def _station_plot(st_id: int, obs, systems, out_dir: str):
+    """Per-station obs-vs-satellite timeseries, date-indexed (reference
+    :79-96 plots against the series index)."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
     plt.figure(figsize=(14, 4))
-    plt.plot(obs, label="gauge obs", linewidth=1, color="k")
-    for name, sat in systems.items():
-        plt.plot(sat, label=name, linewidth=0.8, alpha=0.8)
-    plt.xlabel("day")
+    plt.plot(obs.index, obs.to_numpy(), label="gauge obs", linewidth=1,
+             color="k")
+    for name, (idx, sat) in systems.items():
+        plt.plot(idx, sat, label=name, linewidth=0.8, alpha=0.8)
+    plt.xlabel("date")
     plt.ylabel("precipitation (mm/day)")
     plt.title(f"Station {st_id}")
     plt.legend()

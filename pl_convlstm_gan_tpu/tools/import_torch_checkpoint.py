@@ -29,10 +29,12 @@ from typing import Dict
 
 import numpy as np
 
+from ..ops.nn import hwio_from_oihw, oihw_from_hwio
+
 
 def _conv(sd: Dict, name: str) -> Dict[str, np.ndarray]:
     w = np.asarray(sd[f"{name}.weight"], dtype=np.float32)
-    out = {"kernel": np.transpose(w, (2, 3, 1, 0))}        # OIHW -> HWIO
+    out = {"kernel": hwio_from_oihw(w)}                    # OIHW -> HWIO
     if f"{name}.bias" in sd:
         out["bias"] = np.asarray(sd[f"{name}.bias"], dtype=np.float32)
     return out
@@ -68,8 +70,7 @@ def export_state_dict(params: Dict) -> Dict[str, np.ndarray]:
     sd: Dict[str, np.ndarray] = {}
 
     def put(name, leaf):
-        sd[f"{name}.weight"] = np.transpose(np.asarray(leaf["kernel"]),
-                                            (3, 2, 0, 1))  # HWIO -> OIHW
+        sd[f"{name}.weight"] = oihw_from_hwio(np.asarray(leaf["kernel"]))
         if "bias" in leaf:
             sd[f"{name}.bias"] = np.asarray(leaf["bias"])
 

@@ -25,6 +25,19 @@ def read_station_meta(meta_path: str) -> Dict[int, Tuple[float, float]]:
 def read_rain(rain_path: str, station_id: int, start_year: int,
               end_year: int) -> np.ndarray:
     """Daily series for one station over [start_year, end_year]."""
+    return read_rain_series(rain_path, station_id, start_year,
+                            end_year).to_numpy(dtype=np.float32)
+
+
+def read_rain_series(rain_path: str, station_id: int, start_year: int,
+                     end_year: int):
+    """Daily series for one station as a date-indexed pandas Series.
+
+    The dates matter: the reference's compute_metrics joins gauge and
+    satellite series on their time index (compare_station.py:66-76), so
+    comparisons must align by timestamp, not position — a missing day in
+    either table must drop that day, not shift everything after it."""
+    import pandas as pd
     df = (_read_table(rain_path)
           .query(f"year >= {start_year} and year <= {end_year}")
           .sort_values(["year", "month", "day"])
@@ -32,4 +45,5 @@ def read_rain(rain_path: str, station_id: int, start_year: int,
     col = str(station_id)
     if col not in df.columns:
         raise KeyError(f"station {station_id} not in {rain_path}")
-    return df[col].to_numpy(dtype=np.float32)
+    idx = pd.to_datetime(df[["year", "month", "day"]])
+    return pd.Series(df[col].to_numpy(dtype=np.float32), index=idx)

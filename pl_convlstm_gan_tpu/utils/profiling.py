@@ -17,7 +17,11 @@ def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
     (tunnel-bound, minutes-long) compile, reruns start warm. Call BEFORE
     anything touches the jax backend. No-op on CPU, where AOT cache entries
     are machine-feature sensitive."""
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    # CPU may be selected by the env var OR jax.config (the reliable route in
+    # this image, per CLAUDE.md) — honor both
+    configured = str(getattr(jax.config, "jax_platforms", None) or "")
+    if "cpu" in (os.environ.get("JAX_PLATFORMS", "").lower(),
+                 configured.lower()):
         return
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser(cache_dir))
@@ -26,17 +30,29 @@ def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
 
 
 class Timer:
-    """Accumulating wall-clock timer; ``block`` keyword syncs the device first."""
+    """Accumulating wall-clock timer.
+
+    ``measure()`` yields a dict holder: set ``holder["block_on"]`` to a value
+    PRODUCED INSIDE the block to sync the device before the window closes —
+    a keyword argument could only reference pre-existing values (evaluated at
+    ``__enter__``), which times draining PREVIOUS device work instead of the
+    body's own::
+
+        with timer.measure() as m:
+            out = step(x)
+            m["block_on"] = out
+    """
 
     def __init__(self):
         self.times = []
 
     @contextlib.contextmanager
-    def measure(self, block_on=None):
+    def measure(self):
+        holder: dict = {}
         start = time.perf_counter()
-        yield
-        if block_on is not None:
-            jax.block_until_ready(block_on)
+        yield holder
+        if "block_on" in holder:
+            jax.block_until_ready(holder["block_on"])
         self.times.append(time.perf_counter() - start)
 
     @property

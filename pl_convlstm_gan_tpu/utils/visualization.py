@@ -45,11 +45,15 @@ def plot_sequence_comparison(inputs, targets, preds,
     (leading channel dims of size 1 are squeezed). No reference equivalent — the
     forecaster/GAN families' visual sanity check."""
     def prep(x):
+        """Normalize to [T, H, W]. Accepted layouts: [T,H,W], [T,C,H,W], and
+        batch-leading [B,T,C,H,W] (first item). Multi-channel frames plot
+        channel 0; the TIME axis is never squeezed (a [1,H,W] single-frame
+        sequence must stay 3-D — squeezing it would plot H rows as frames)."""
         x = np.asarray(x)
-        while x.ndim > 3:
-            x = x[:, 0] if x.shape[1] == 1 else x[0]
-        if x.ndim == 3 and x.shape[-3] == 1:
+        if x.ndim == 5:          # [B, T, C, H, W] -> first batch item
             x = x[0]
+        if x.ndim == 4:          # [T, C, H, W] -> channel 0
+            x = x[:, 0]
         return x
 
     inputs, targets, preds = prep(inputs), prep(targets), prep(preds)

@@ -225,3 +225,50 @@ def test_coarsen_coords_block_means():
     from pl_convlstm_gan_tpu.tools.dem_lucc_to_npy import coarsen_coords
     v = np.arange(7, dtype=np.float64)
     np.testing.assert_allclose(coarsen_coords(v, 3), [1.0, 4.0])
+
+
+def test_compare_systems_aligns_by_timestamp(tmp_path):
+    """A missing day in the gauge table must drop that day only (reference
+    compute_metrics joins on the time index) — positional truncation would
+    offset every later day against the wrong date."""
+    rng = np.random.default_rng(3)
+    days = 20
+    times = pd.date_range("2012-01-01", periods=days)
+    meta = pd.DataFrame({"station_id": [1], "lon": [111.0], "lat": [36.0]})
+    meta.to_csv(tmp_path / "meta.csv", index=False)
+    obs_vals = rng.random(days).astype(np.float32) * 10
+    rain = pd.DataFrame({"year": times.year, "month": times.month,
+                         "day": times.day, "1": obs_vals})
+    rain = rain.drop(index=5).reset_index(drop=True)   # gauge misses one day
+    rain.to_csv(tmp_path / "rain.csv", index=False)
+    # satellite == obs exactly -> timestamp-aligned metrics must be all-zero
+    # error even though the series lengths differ
+    sat = pd.DataFrame({"36.000_111.000": obs_vals}, index=times)
+    sat.to_csv(tmp_path / "sat.csv")
+    summary = compare_systems({"hydro": str(tmp_path / "sat.csv")},
+                              str(tmp_path / "meta.csv"),
+                              str(tmp_path / "rain.csv"), 2012, 2012,
+                              str(tmp_path / "cmp2"), make_plots=False)
+    assert summary.loc[0, "hydro_mae"] == pytest.approx(0.0, abs=1e-6)
+    assert summary.loc[0, "hydro_overlap"] == days - 1
+
+
+def test_daily_accumulations_missing_hour_invalidates_not_shifts(tmp_path):
+    """cma_20-20 shifts by 12 HOURS, not 12 rows: a missing source hour must
+    NaN the affected day (min_count) without misaligning later days."""
+    from pl_convlstm_gan_tpu.tools.cmorph import daily_accumulations
+    hours = pd.date_range("2013-01-01", periods=24 * 6, freq="h")
+    vals = np.ones((len(hours), 1, 1), np.float32)
+    # drop one hour on day 2
+    keep = np.ones(len(hours), bool)
+    keep[30] = False
+    out = daily_accumulations(vals[keep], hours[keep], 2013)
+    hydro, _ = out["hydro_08-08"]
+    cma, _ = out["cma_20-20"]
+    # day 2 (the gap day) is invalid in hydro; later days recover to full 24
+    assert np.isnan(hydro[1, 0, 0]) and hydro[2, 0, 0] == 24.0
+    # 20-20 windows touching the gap are invalid (hour 30 = Jan 2 06:00 falls
+    # in cma day 0's [Jan 1 12:00, Jan 2 12:00) window), but windows fully
+    # after it are exact 24s again (a positional shift would corrupt them all)
+    assert np.isnan(cma[0, 0, 0])
+    assert cma[1, 0, 0] == 24.0 and cma[3, 0, 0] == 24.0

@@ -20,8 +20,9 @@ def test_timer_accumulates():
     t = Timer()
     with t.measure():
         _ = sum(range(1000))
-    with t.measure(block_on=jnp.ones(4)):
-        pass
+    # the holder lets the block register ITS OWN device output for the sync
+    with t.measure() as m:
+        m["block_on"] = jnp.ones(4) * 2
     assert len(t.times) == 2
     assert t.p50 == t.median >= 0
 
