@@ -42,14 +42,21 @@ def main():
     state, m = step(state, batch, lr)
     print("compile+first step s", round(time.perf_counter() - t0, 1),
           "loss", float(m["total"]), flush=True)
-    ts = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        state, m = step(state, batch, lr)
-        _ = float(m["total"])
-        ts.append(time.perf_counter() - t0)
-    p50 = float(np.median(ts))
-    print(f"generator train step p50 {p50 * 1e3:.2f} ms "
+
+    # steady-state (chained steps, one fetch): per-call sync timing carries
+    # the ~26 ms tunnel dispatch tax, which drifts +-3-4 ms between process
+    # launches — round-2 A/B runs of IDENTICAL code measured 42.2-47.5 ms
+    # sync-mode, swamping real deltas. Chained timing is stable.
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+
+    def chain_step(st):
+        st, _ = step(st, batch, lr)
+        return st
+
+    res = benchmark_chained(chain_step, state, fetch=lambda s: float(s.step),
+                            chain=10, iters=10)
+    p50 = res["p50"]
+    print(f"generator train step p50 {p50 * 1e3:.2f} ms steady-state "
           f"({8 / p50:.1f} samples/s, {8 * 5 / p50:.1f} frames/s)", flush=True)
 
 
