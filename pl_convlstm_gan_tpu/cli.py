@@ -52,7 +52,8 @@ def main():
                              "crash recovery")
     args = parser.parse_args()
     if args.output_frames < 0:
-        raise SystemExit("--output-frames must be positive (0 = config value)")
+        raise SystemExit("--output-frames must be non-negative "
+                         "(0 = config value)")
 
     config = load_config(args.config)
     config.validate()
@@ -80,17 +81,20 @@ def main():
         else:
             print("--resume: no checkpoint found, starting fresh")
 
-    if config.model.family in ("forecaster", "gan"):
-        trainer = SequenceTrainer(config=config)
-    else:
-        trainer = Trainer(config=config)
+    # predict (and export-with-input) never use the trainer — don't spin up
+    # its device mesh / async checkpoint writer / early-stopping banner for an
+    # inference-only invocation
+    def make_trainer():
+        if config.model.family in ("forecaster", "gan"):
+            return SequenceTrainer(config=config)
+        return Trainer(config=config)
 
     if args.mode == "eval":
+        trainer = make_trainer()
         ckpt = args.checkpoint or os.path.join(config.output.output_dir,
                                                "best_model")
         ds = trainer.setup_data()
-        trainer.setup_model(ds) if not isinstance(trainer, SequenceTrainer) \
-            else trainer.setup_model()
+        trainer.setup_model(ds)
         trainer.restore(ckpt)
         metrics = trainer.evaluate_test()
         print(f"Test metrics: {metrics}")
@@ -141,13 +145,16 @@ def main():
                 # (works for synthetic AND on-disk frames sources — a
                 # synthetic_image_size guess would bake wrong H/W into the
                 # artifact for frames-trained checkpoints)
-                ds = trainer.setup_data()
+                ds = make_trainer().setup_data()
                 example = (np.asarray(ds[0][0])[None],)
         else:
             if not args.input:
                 raise SystemExit("generator-family export needs --input: an "
                                  ".npz with rain_lr/dem/lu sample arrays")
             data = np.load(args.input)
+            if not isinstance(data, np.lib.npyio.NpzFile):
+                raise SystemExit("generator-family export needs an .npz with "
+                                 "rain_lr/dem/lu arrays (got a plain .npy)")
             example = (data["rain_lr"][:1], data["dem"][:1], data["lu"][:1])
             lu_channels = data["lu"].shape[1]
         blob = export_model(config, ckpt, example, lu_channels=lu_channels,
@@ -157,7 +164,7 @@ def main():
         print(f"Exported serving artifact ({len(blob)} bytes, "
               f"batch-polymorphic, tpu+cpu) to {out_path}")
     else:
-        trainer.train()
+        make_trainer().train()
 
 
 if __name__ == "__main__":

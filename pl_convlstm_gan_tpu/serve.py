@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
+import numpy as np
 from jax import export as _jax_export
 
 from .config import Config
@@ -45,7 +45,9 @@ DEFAULT_PLATFORMS: Tuple[str, ...] = ("tpu", "cpu")
 def _example_specs(example_args, batch_polymorphic: bool):
     """ShapeDtypeStructs for export; dim 0 of every arg becomes one shared
     symbolic batch dimension when `batch_polymorphic`."""
-    args = [jnp.asarray(a) for a in example_args]
+    # np.asarray: only shape/dtype are needed — jnp would device-put the full
+    # sample through the tunnel for nothing
+    args = [np.asarray(a) for a in example_args]
     if not batch_polymorphic:
         return [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in args]
     (b,) = _jax_export.symbolic_shape("b")

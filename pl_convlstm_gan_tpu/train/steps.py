@@ -29,7 +29,7 @@ from ..losses.adversarial import discriminator_loss, gan_generator_loss, l1_loss
 from ..losses.combined import (combined_loss, conservation_loss, gradient_loss,
                                point_supervision_sums, station_rmse,
                                station_sq_err_sums, temporal_consistency_loss)
-from ..losses.ssim import ssim, ssim_per_sample
+from ..losses.ssim import ssim_per_sample
 
 
 class TrainState(NamedTuple):
@@ -74,6 +74,10 @@ def aggregate_epoch_metrics(metrics_acc) -> Dict[str, float]:
     NaN never compares as a new best and counts as a bad plateau epoch,
     whereas a 0.0 would be mistaken for a perfect new best."""
     import numpy as np
+    # ONE batched device->host transfer for the whole epoch's metrics —
+    # per-scalar float() would issue num_batches x num_keys blocking fetches
+    # through the tunnel (each ~ms), defeating the one-sync-per-epoch design
+    metrics_acc = jax.device_get(list(metrics_acc))
     stacked = {k: np.asarray([float(m[k]) for m in metrics_acc])
                for k in metrics_acc[0]}
     skipped = int(stacked["skipped"].sum())
@@ -171,6 +175,7 @@ def aggregate_generator_eval(metric_batches, loss_cfg: Dict
     """Host-side exact aggregation of generator eval sums across batches."""
     if not metric_batches:
         return None
+    metric_batches = jax.device_get(list(metric_batches))  # one batched fetch
     keys = metric_batches[0].keys()
     num = {k: sum(float(m[k][0]) for m in metric_batches) for k in keys}
     wt = {k: sum(float(m[k][1]) for m in metric_batches) for k in keys}
@@ -251,6 +256,7 @@ def aggregate_sequence_eval(metric_batches) -> Optional[Dict[str, float]]:
     if not metric_batches:
         return None
     import numpy as np
+    metric_batches = jax.device_get(list(metric_batches))  # one batched fetch
     out: Dict[str, float] = {}
     for k in metric_batches[0]:
         num = sum(np.asarray(m[k][0], np.float64) for m in metric_batches)

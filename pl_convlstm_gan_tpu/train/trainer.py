@@ -105,7 +105,8 @@ class Trainer:
                     full_dataset, tuple(tc.train_years), tuple(tc.val_years),
                     tuple(tc.test_years))
             else:
-                train_ds, val_ds, test_ds = split_dataset_random(full_dataset)
+                train_ds, val_ds, test_ds = split_dataset_random(
+                    full_dataset, seed=self.config.data.seed)
             self.train_dataset, self.val_dataset, self.test_dataset = \
                 train_ds, val_ds, test_ds
             print(f"Train: {len(train_ds)} | Val: {len(val_ds)} | "
@@ -283,7 +284,6 @@ class Trainer:
         self.setup_model(dataset)
 
         import time
-        epoch = self.start_epoch - 1
         for epoch in range(self.start_epoch, self.config.training.epochs):
             epoch_t0 = time.perf_counter()
             avg = self.train_epoch(epoch)
