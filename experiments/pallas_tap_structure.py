@@ -50,17 +50,22 @@ f_big = jax.jit(lambda a, w: pl.pallas_call(
     in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
     out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
 
-for name, f, args, flops in [
-        ("9-tap-loop", f_taps, (a9, w9), 2 * M * K * N * TAPS * REPS),
-        ("one-K1152", f_big, (abig, wbig), 2 * M * TAPS * K * N * REPS)]:
-    o = f(*args); np.asarray(o[0, 0])
-    ts = []
-    for _ in range(10):
-        t0 = time.perf_counter(); o = f(*args); np.asarray(o[0, 0])
-        ts.append(time.perf_counter() - t0)
-    per = np.median(ts)
-    print(name, "ms", round(per * 1e3, 3), "TFLOP/s",
-          round(flops / per / 1e12, 1), flush=True)
+def main():
+    for name, f, args, flops in [
+            ("9-tap-loop", f_taps, (a9, w9), 2 * M * K * N * TAPS * REPS),
+            ("one-K1152", f_big, (abig, wbig), 2 * M * TAPS * K * N * REPS)]:
+        o = f(*args); np.asarray(o[0, 0])
+        ts = []
+        for _ in range(10):
+            t0 = time.perf_counter(); o = f(*args); np.asarray(o[0, 0])
+            ts.append(time.perf_counter() - t0)
+        per = np.median(ts)
+        print(name, "ms", round(per * 1e3, 3), "TFLOP/s",
+              round(flops / per / 1e12, 1), flush=True)
+
+
+if __name__ == "__main__":
+    main()
 
 # Results (v5e-1, 2026-08-16): both variants ~1 TFLOP/s — NOT representative of
 # the production kernel (which hits ~28 TFLOP/s at the same dot shapes). The
