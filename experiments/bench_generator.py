@@ -12,9 +12,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp')
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+
+setup_compile_cache()
 
 from pl_convlstm_gan_tpu.data import SyntheticDownscalingDataset, batch_iterator
 from pl_convlstm_gan_tpu.models import Generator

@@ -8,12 +8,6 @@ import numpy as np, jax, jax.numpy as jnp, time
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-jax.config.update('jax_compilation_cache_dir', '/root/.cache/jax_comp')
-jax.config.update('jax_persistent_cache_min_entry_size_bytes', -1)
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
-np.asarray(jax.jit(lambda x: x + 9)(jnp.ones((3, 3))))
-
-rng = np.random.default_rng(0)
 dt = jnp.bfloat16
 M, K, N, TAPS, REPS = 1024, 128, 256, 9, 64
 
@@ -36,21 +30,30 @@ def big_kernel(a_ref, w_ref, o_ref):
     o_ref[...] = acc.astype(o_ref.dtype)
 
 
-a9 = jnp.asarray(rng.random((TAPS, M, K)), dtype=dt)
-w9 = jnp.asarray(rng.random((TAPS, K, N)), dtype=dt)
-abig = jnp.asarray(rng.random((M, TAPS * K)), dtype=dt)
-wbig = jnp.asarray(rng.random((TAPS * K, N)), dtype=dt)
-
-f_taps = jax.jit(lambda a, w: pl.pallas_call(
-    taps_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
-    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
-f_big = jax.jit(lambda a, w: pl.pallas_call(
-    big_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
-    in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-    out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
-
 def main():
+    # all device work (backend init, uploads, jit warm-up) stays inside main
+    # so importing this module never spins up the tunnel helper
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+    setup_compile_cache()
+
+    rng = np.random.default_rng(0)
+    a9 = jnp.asarray(rng.random((TAPS, M, K)), dtype=dt)
+    w9 = jnp.asarray(rng.random((TAPS, K, N)), dtype=dt)
+    abig = jnp.asarray(rng.random((M, TAPS * K)), dtype=dt)
+    wbig = jnp.asarray(rng.random((TAPS * K, N)), dtype=dt)
+
+    f_taps = jax.jit(lambda a, w: pl.pallas_call(
+        taps_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
+    f_big = jax.jit(lambda a, w: pl.pallas_call(
+        big_kernel, out_shape=jax.ShapeDtypeStruct((M, N), dt),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM))(a, w))
+
     for name, f, args, flops in [
             ("9-tap-loop", f_taps, (a9, w9), 2 * M * K * N * TAPS * REPS),
             ("one-K1152", f_big, (abig, wbig), 2 * M * TAPS * K * N * REPS)]:

@@ -33,7 +33,11 @@ class DataConfig:
     synthetic_num_sequences: int = 256
     synthetic_image_size: int = 64
     synthetic_num_stations: int = 16
-    seed: int = 0
+    seed: int = 0                  # synthetic-data generation seed
+    # random-split permutation seed, default matching the reference's
+    # split_dataset_random (fenhe_dataset_split.py:70) so split membership is
+    # stable vs both the reference and pre-existing checkpoints
+    split_seed: int = 42
     loader: str = "plain"          # "plain" | "grain"
     worker_count: int = 0          # grain multiprocess workers (0 = in-process)
     # source="frames": on-disk .npy/.npz frame stacks for the sequence families

@@ -77,7 +77,18 @@ def compare_systems(sat_csvs: Dict[str, str], meta_path: str, rain_path: str,
             # day only — positional truncation would silently offset every
             # later day against the wrong date
             sat = pd.Series(vals[:, cell], index=times)
-            joined = pd.concat({"obs": obs, "sat": sat}, axis=1, join="inner")
+            # duplicated dates would make the index join raise mid-run with
+            # no station context — dedupe (keep first) with a warning, like
+            # the cmorph ingest does for duplicate timestamps
+            for label, s in (("gauge", obs), ("satellite", sat)):
+                dups = s.index.duplicated()
+                if dups.any():
+                    print(f"WARNING: station {st_id}: {int(dups.sum())} "
+                          f"duplicated {label} dates dropped (kept first)")
+            obs_u = obs[~obs.index.duplicated(keep="first")]
+            sat = sat[~sat.index.duplicated(keep="first")]
+            joined = pd.concat({"obs": obs_u, "sat": sat}, axis=1,
+                               join="inner")
             m = compute_metrics(joined["obs"].to_numpy(),
                                 joined["sat"].to_numpy())
             row.update({f"{name}_{k}": v for k, v in m.items()})

@@ -83,7 +83,7 @@ class SequenceTrainer:
         self._full_dataset = full
         if self.config.training.use_split:
             self.train_dataset, self.val_dataset, self.test_dataset = \
-                split_dataset_random(full, seed=dc.seed)
+                split_dataset_random(full, seed=dc.split_seed)
         else:
             self.train_dataset, self.val_dataset, self.test_dataset = full, None, None
         return full

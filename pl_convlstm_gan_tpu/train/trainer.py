@@ -106,7 +106,7 @@ class Trainer:
                     tuple(tc.test_years))
             else:
                 train_ds, val_ds, test_ds = split_dataset_random(
-                    full_dataset, seed=self.config.data.seed)
+                    full_dataset, seed=self.config.data.split_seed)
             self.train_dataset, self.val_dataset, self.test_dataset = \
                 train_ds, val_ds, test_ds
             print(f"Train: {len(train_ds)} | Val: {len(val_ds)} | "
