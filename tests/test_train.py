@@ -366,3 +366,22 @@ def test_training_is_seed_deterministic(tmp_path):
     h2 = Trainer(config=_tiny_config(tmp_path / "b")).train()
     assert h1["total_loss"] == h2["total_loss"]
     assert h1["rmse"] == h2["rmse"]
+
+
+def test_split_membership_pinned_to_split_seed(tmp_path):
+    """Random-split membership is controlled ONLY by data.split_seed (default
+    42, the reference's split_dataset_random default) — regenerating synthetic
+    data with a different data.seed must NOT reshuffle the split, or an
+    existing checkpoint's test split would silently leak trained samples."""
+    cfg_a = _tiny_config(tmp_path / "a")
+    cfg_b = _tiny_config(tmp_path / "b")
+    cfg_b.data.seed = 123            # different data seed, same split seed
+    cfg_c = _tiny_config(tmp_path / "c")
+    cfg_c.data.split_seed = 7        # different split seed
+    idx = []
+    for cfg in (cfg_a, cfg_b, cfg_c):
+        tr = Trainer(config=cfg)
+        tr.setup_data()
+        idx.append(tuple(tr.test_dataset.indices))
+    assert idx[0] == idx[1]          # data.seed does not touch membership
+    assert idx[0] != idx[2]          # split_seed does
