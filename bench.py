@@ -28,6 +28,10 @@ T_IN, T_OUT = 5, 10
 SIZE = 128
 HIDDEN = (64, 64)
 
+# v5e per-chip peaks (public spec) for the roofline fields
+PEAK_BF16_TFLOPS = 197.0
+HBM_GBPS = 819.0
+
 
 def bench_jax(iters: int) -> dict:
     import jax
@@ -52,6 +56,23 @@ def bench_jax(iters: int) -> dict:
     lr = jnp.asarray(1e-3)
     tf = jnp.asarray(0.0)
     key = jax.random.PRNGKey(1)
+
+    # roofline attribution off XLA's own cost model (profiler traces don't
+    # work through the axon tunnel; this is client-side on the compiled
+    # program). The model counts the lax.scan body ONCE and the step is
+    # ~all-scan, so trip-adjust by x(T_in+T_out-1) — validated against
+    # hand-computed FLOPs in experiments/xla_cost_model.py. Lower BEFORE any
+    # execution: the step donates its state.
+    roofline = {}
+    try:
+        from pl_convlstm_gan_tpu.utils.profiling import compiled_cost
+        cost = compiled_cost(lambda st, b: step(st, b, lr, tf, key)[0],
+                             state, (inputs, targets))
+        trips = T_IN + T_OUT - 1
+        roofline = {"flops": cost["flops"] * trips,
+                    "bytes": cost["bytes_accessed"] * trips}
+    except Exception as e:  # cost model availability varies by backend
+        print(f"cost model unavailable: {e}", file=sys.stderr)
 
     # warmup/compile; float() fetch is the reliable full-pipeline sync through
     # the axon tunnel (block_until_ready alone under-reports there)
@@ -98,11 +119,87 @@ def bench_jax(iters: int) -> dict:
         _ = float(out[0, 0, 0, 0, 0])
         itimes_sync.append(time.perf_counter() - t0)
 
-    return {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
-            "p50_step_sync_s": p50_sync,
-            "p50_rollout_latency_s": ires["p50"],
-            "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
-            "loss": float(m["total"])}
+    res = {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
+           "p50_step_sync_s": p50_sync,
+           "p50_rollout_latency_s": ires["p50"],
+           "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
+           "loss": float(m["total"])}
+    if roofline:
+        res["modeled_tflops_per_s"] = roofline["flops"] / p50 / 1e12
+        res["mfu"] = roofline["flops"] / p50 / (PEAK_BF16_TFLOPS * 1e12)
+        res["modeled_hbm_gbps"] = roofline["bytes"] / p50 / 1e9
+        res["modeled_hbm_frac_of_roofline"] = \
+            roofline["bytes"] / p50 / 1e9 / HBM_GBPS
+    return res
+
+
+def bench_secondary(iters: int) -> dict:
+    """Secondary driver-visible numbers (docs/design.md benchmark table):
+    the reference-parity Generator train step (B8 T5 16->x8=128, full
+    4-term CombinedLoss) and the config-#5 256px GAN per-chip train step
+    (5-in/30-out, B1, alternating D/G updates). Steady-state chained timing."""
+    import jax
+    import jax.numpy as jnp
+    from pl_convlstm_gan_tpu.data import SyntheticDownscalingDataset, batch_iterator
+    from pl_convlstm_gan_tpu.models import (ConvLSTMForecaster, Discriminator,
+                                            Generator)
+    from pl_convlstm_gan_tpu.train import (GANTrainState, TrainState,
+                                           make_gan_train_step,
+                                           make_generator_train_step,
+                                           make_optimizer)
+    from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+
+    out = {}
+    # --- parity Generator (reference workload shapes)
+    ds = SyntheticDownscalingDataset(num_days=64, T=5, lr_size=16,
+                                     scale_factor=8, num_stations=16, seed=0)
+    gmodel = Generator(hidden_dims=(16, 32), lu_channels=ds.num_lu_classes,
+                       scale_factor=8, dtype=jnp.bfloat16)
+    batch = tuple(jnp.asarray(x) for x in next(batch_iterator(ds, 8)))
+    params = gmodel.init(jax.random.PRNGKey(0), *batch[:3])
+    tx = make_optimizer(0.5)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    gstep = make_generator_train_step(
+        gmodel.apply, tx,
+        dict(lambda_point=1.0, lambda_conserve=1.0, lambda_smooth=0.1,
+             lambda_temporal=0.05, use_weighted_loss=True,
+             weight_strategy="log"))
+    glr = jnp.asarray(5e-4)
+    state, m = gstep(state, batch, glr)
+    _ = float(m["total"])
+    res = benchmark_chained(lambda st: gstep(st, batch, glr)[0], state,
+                            fetch=lambda s: float(s.step), chain=10,
+                            iters=iters)
+    out["parity_generator_step_s"] = res["p50"]
+    out["parity_generator_frames_per_sec"] = 8 * 5 / res["p50"]
+
+    # --- 256px GAN per-chip step (configs/gan_256_single.yaml shapes, B1 =
+    # the dp_v5e16 per-chip share)
+    rng = np.random.default_rng(0)
+    inp = jnp.asarray(rng.random((1, 5, 1, 256, 256)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((1, 30, 1, 256, 256)).astype(np.float32))
+    gen = ConvLSTMForecaster(hidden_dims=(64, 64), input_frames=5,
+                             output_frames=30, dtype=jnp.bfloat16)
+    disc = Discriminator(features=(64, 128, 256), dtype=jnp.bfloat16)
+    gp = gen.init(jax.random.PRNGKey(0), inp)
+    dpms = disc.init(jax.random.PRNGKey(1), tgt)
+    gtx, dtx = make_optimizer(0.5), make_optimizer(0.5)
+    gan_state = GANTrainState(gp, dpms, gtx.init(gp), dtx.init(dpms),
+                              jnp.zeros((), jnp.int32))
+    gan_step = make_gan_train_step(gen.apply, disc.apply, gtx, dtx,
+                                   lambda_adv=0.001, lambda_l1=1.0)
+    glr2 = jnp.asarray(2e-4)
+    tf = jnp.asarray(0.5)
+    key = jax.random.PRNGKey(2)
+    gan_state, m = gan_step(gan_state, (inp, tgt), glr2, glr2, tf, key)
+    _ = float(m["g_total"])
+    res = benchmark_chained(
+        lambda st: gan_step(st, (inp, tgt), glr2, glr2, tf, key)[0],
+        gan_state, fetch=lambda s: float(s.step), chain=4,
+        iters=max(3, iters // 2))
+    out["gan256_step_s"] = res["p50"]
+    out["gan256_frames_per_sec"] = 30 / res["p50"]
+    return out
 
 
 def bench_torch_baseline(iters: int) -> float:
@@ -201,6 +298,7 @@ def main():
     torch_iters = 2 if args.quick else 3
 
     jax_res = bench_jax(iters)
+    secondary = {} if args.quick else bench_secondary(iters)
     torch_p50 = get_torch_baseline(torch_iters)
     torch_fps = BATCH * T_OUT / torch_p50
 
@@ -218,6 +316,12 @@ def main():
         "baseline": "equivalent PyTorch CPU train step (reference execution model)",
         "timing": "steady-state (chained steps, one sync); *_sync_s = per-call",
     }
+    for k in ("modeled_tflops_per_s", "mfu", "modeled_hbm_gbps",
+              "modeled_hbm_frac_of_roofline"):
+        if k in jax_res:
+            result[k] = round(jax_res[k], 3)
+    for k, v in secondary.items():
+        result[k] = round(v, 4)
     print(json.dumps(result))
 
 

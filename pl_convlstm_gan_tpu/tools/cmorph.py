@@ -2,8 +2,9 @@
 
 Port of the reference ETL (``/root/reference/src/scripts/cmorph.py:11-207``):
 open_mfdataset concat on time, longitude 0..360 -> -180..180 + sort, 3-D polygon
-basin mask from a shapefile (regionmask), bbox crop, leap-year/duplicate-timestamp
-QC, and TWO daily accumulation systems:
+basin mask from an EPSG:4326-normalized shapefile (regionmask), crop to the
+mask's valid-cell extent, leap-year/duplicate-timestamp QC, and TWO daily
+accumulation systems:
 
 - hydrological "08-08" (Beijing time) == UTC-day resample ``sum(min_count=24)``
 - meteorological "20-20" == ``shift(time=-12h)`` then the same resample
@@ -25,6 +26,43 @@ import os
 
 def is_leap_year(year: int) -> bool:
     return (year % 4 == 0 and year % 100 != 0) or (year % 400 == 0)
+
+
+def normalize_crs(gdf):
+    """Normalize the basin shapefile to EPSG:4326 before masking (reference
+    cmorph.py:40-44): set the CRS when the file carries none, reproject
+    otherwise. Without this, a shapefile in a projected CRS (common for
+    Chinese basin products) makes ``mask_3D_geopandas`` compare projected
+    meters against geographic degrees — an empty/wrong mask and silently
+    all-NaN output."""
+    if gdf.crs is None:
+        gdf.set_crs("EPSG:4326", inplace=True)
+        return gdf
+    return gdf.to_crs("EPSG:4326")
+
+
+def mask_valid_extent(mask2d, lons, lats):
+    """Min rectangle of the basin mask's VALID cells (reference
+    cmorph.py:61-72: ``lon_valid``/``lat_valid`` from ``basin_mask.any``).
+
+    ``mask2d``: [lat, lon] boolean basin mask; ``lons``/``lats``: coordinate
+    vectors. Returns (lon_min, lon_max, lat_min, lat_max) over cells that are
+    actually inside the basin — NOT the polygon bbox (``gdf.total_bounds``):
+    when a bbox edge row/col contains no basin cell *centers*, the bbox crop
+    keeps it and produces a grid shape that misaligns with reference-produced
+    DEM/LUCC/station grids. Pure numpy so the crop math is test-pinned without
+    xarray (tests/test_tools.py)."""
+    import numpy as np
+
+    mask2d = np.asarray(mask2d).astype(bool)
+    if not mask2d.any():
+        raise ValueError(
+            "basin mask has no valid cells — shapefile and grid do not "
+            "overlap (check the shapefile CRS)")
+    lon_sel = np.asarray(lons)[mask2d.any(axis=0)]
+    lat_sel = np.asarray(lats)[mask2d.any(axis=1)]
+    return (float(lon_sel.min()), float(lon_sel.max()),
+            float(lat_sel.min()), float(lat_sel.max()))
 
 
 def qc_hourly_times(times, year: int) -> dict:
@@ -119,17 +157,21 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     if float(ds.lon.max()) > 180:
         ds = ds.assign_coords(lon=(((ds.lon + 180) % 360) - 180)).sortby("lon")
 
-    # basin polygon mask (reference cmorph.py:37-58)
-    gdf = gpd.read_file(shp_path)
+    # basin polygon mask, CRS-normalized first (reference cmorph.py:37-58)
+    gdf = normalize_crs(gpd.read_file(shp_path))
     mask = regionmask.mask_3D_geopandas(gdf, ds.lon, ds.lat)
-    masked = ds[var].where(mask.isel(region=0))
+    basin = mask.isel(region=0)
+    pre_crop = ds[var].where(basin)
 
-    # crop to basin bbox (reference cmorph.py:61-72)
-    minx, miny, maxx, maxy = gdf.total_bounds
-    masked = masked.sel(lon=slice(minx, maxx), lat=slice(miny, maxy))
+    # crop to the min rectangle of the mask's VALID cells, not the polygon
+    # bbox (reference cmorph.py:61-72; see mask_valid_extent)
+    lon_min, lon_max, lat_min, lat_max = mask_valid_extent(
+        basin.transpose("lat", "lon").values, ds.lon.values, ds.lat.values)
+    masked = pre_crop.sel(lon=slice(lon_min, lon_max),
+                          lat=slice(lat_min, lat_max))
     if masked.lat.size == 0:  # descending-lat files
-        masked = ds[var].where(mask.isel(region=0)).sel(
-            lon=slice(minx, maxx), lat=slice(maxy, miny))
+        masked = pre_crop.sel(lon=slice(lon_min, lon_max),
+                              lat=slice(lat_max, lat_min))
 
     # QC report (reference cmorph.py:74-106), then dedupe (an improvement over
     # the reference, which only reports duplicates)

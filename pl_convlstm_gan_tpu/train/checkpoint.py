@@ -32,6 +32,12 @@ from typing import Any, Dict, Optional, Tuple
 import orbax.checkpoint as ocp
 
 
+# pending dirs owned by live writers in THIS process: recover_checkpoint_dir
+# must not promote them out from under the writer (the writer's own wait()
+# will) — promotion recovery is for pendings stranded by a DEAD process
+_LIVE_PENDING: set = set()
+
+
 class CheckpointWriter:
     """Async checkpoint writer; one save in flight at a time per writer."""
 
@@ -65,6 +71,7 @@ class CheckpointWriter:
             multihost_utils.sync_global_devices("ckpt_tmp_ready")
         self._ckptr.save(os.path.join(tmp, "state"), device_state)
         self._pending = (tmp, path)
+        _LIVE_PENDING.add(tmp)
 
     def wait(self) -> None:
         """Block until the in-flight save (if any) is finalized at its path."""
@@ -105,6 +112,7 @@ class CheckpointWriter:
         if multihost:
             from jax.experimental import multihost_utils
             multihost_utils.sync_global_devices("ckpt_promote_post")
+        _LIVE_PENDING.discard(tmp)
 
     def close(self) -> None:
         self.wait()
@@ -139,7 +147,12 @@ def recover_checkpoint_dir(path: str) -> bool:
     if not multihost or jax.process_index() == 0:
         old = path + ".old"
         pending = path + ".pending"
-        if (os.path.isdir(os.path.join(pending, "state"))
+        if pending in _LIVE_PENDING:
+            # a live CheckpointWriter in THIS process owns the pending save;
+            # its own wait() will promote it — promoting here would race the
+            # writer into its missing-pending fallback
+            pass
+        elif (os.path.isdir(os.path.join(pending, "state"))
                 and os.path.isfile(os.path.join(pending, "host_state.json"))):
             if os.path.isdir(path):
                 shutil.rmtree(path)
@@ -161,8 +174,11 @@ def restore_checkpoint(path: str, target: Optional[Any] = None
     """Restore (device_state, host_state). `target` (a matching pytree of arrays)
     restores dtypes/shardings exactly; without it orbax infers the topology.
 
-    Callers holding a CheckpointWriter must ``wait()`` it first if restoring a
-    path that writer may still be serializing."""
+    Safe against live in-process writers: a pending save still owned by a
+    CheckpointWriter in this process is left for that writer's own ``wait()``
+    to promote (its contents would be mid-flight); callers restoring a path
+    they are also saving should still ``wait()`` first to see the NEWEST
+    state rather than the previously promoted one (the trainers do)."""
     path = os.path.abspath(path)
     recover_checkpoint_dir(path)
     ckptr = ocp.StandardCheckpointer()

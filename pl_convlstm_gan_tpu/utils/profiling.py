@@ -18,10 +18,13 @@ def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
     anything touches the jax backend. No-op on CPU, where AOT cache entries
     are machine-feature sensitive."""
     # CPU may be selected by the env var OR jax.config (the reliable route in
-    # this image, per CLAUDE.md) — honor both
+    # this image, per CLAUDE.md) — honor both; either may hold a comma list
+    # ("cpu,tpu") so check membership per entry, not whole-string equality
     configured = str(getattr(jax.config, "jax_platforms", None) or "")
-    if "cpu" in (os.environ.get("JAX_PLATFORMS", "").lower(),
-                 configured.lower()):
+    platforms = [p.strip() for src in (os.environ.get("JAX_PLATFORMS", ""),
+                                       configured)
+                 for p in src.lower().split(",")]
+    if "cpu" in platforms:
         return
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser(cache_dir))

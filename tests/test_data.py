@@ -323,3 +323,20 @@ def test_grain_loader_num_epochs_none_is_endless(tmp_path):
     per_epoch = len(ds) // 8
     batches = list(islice(iter(loader), per_epoch + 3))
     assert len(batches) == per_epoch + 3
+
+
+def test_grain_loader_multiprocess_workers_match_inprocess():
+    """worker_count > 0 routes through grain's mp_prefetch (pickled dataset +
+    pipeline, shared-memory transfer). The worker path must yield exactly the
+    batches the in-process path yields — a broken pickle/shm path would
+    otherwise only surface in production (`data.worker_count`)."""
+    ds = SyntheticSequenceDataset(num_sequences=12, input_frames=2,
+                                  output_frames=2, image_size=8)
+    inproc = list(make_grain_loader(ds, batch_size=4, shuffle=True, seed=3))
+    workers = list(make_grain_loader(ds, batch_size=4, shuffle=True, seed=3,
+                                     worker_count=2))
+    assert len(workers) == len(inproc) == 3
+    for a, b in zip(inproc, workers):
+        assert len(a) == len(b)
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

@@ -272,3 +272,69 @@ def test_daily_accumulations_missing_hour_invalidates_not_shifts(tmp_path):
     # after it are exact 24s again (a positional shift would corrupt them all)
     assert np.isnan(cma[0, 0, 0])
     assert cma[1, 0, 0] == 24.0 and cma[3, 0, 0] == 24.0
+
+
+def test_mask_valid_extent_vs_bbox_crop():
+    """Crop must follow the MASK's valid cells (reference cmorph.py:61-72),
+    not the polygon bbox: a bbox edge row/col with no basin cell centers must
+    be dropped so grid shapes match reference-produced DEM/LUCC grids."""
+    from pl_convlstm_gan_tpu.tools.cmorph import mask_valid_extent
+    lons = np.array([110.0, 110.25, 110.5, 110.75, 111.0])
+    lats = np.array([35.0, 35.25, 35.5, 35.75])
+    # polygon bbox spans the whole grid, but no cell CENTER in the first lat
+    # row or last lon column falls inside the polygon
+    mask = np.zeros((4, 5), bool)          # [lat, lon]
+    mask[1:4, 0:4] = True
+    mask[2, 1] = False                     # interior hole: must not matter
+    lon_min, lon_max, lat_min, lat_max = mask_valid_extent(mask, lons, lats)
+    assert (lon_min, lon_max) == (110.0, 110.75)
+    assert (lat_min, lat_max) == (35.25, 35.75)
+    # the reference's own formula, computed independently: any() over the
+    # opposite dim then min/max of the surviving coordinates
+    assert lon_min == lons[mask.any(axis=0)].min()
+    assert lat_max == lats[mask.any(axis=1)].max()
+    # and the resulting grid SHAPE differs from a total_bounds (bbox) crop
+    n_lon = np.sum((lons >= lon_min) & (lons <= lon_max))
+    n_lat = np.sum((lats >= lat_min) & (lats <= lat_max))
+    assert (n_lat, n_lon) == (3, 4) != mask.shape
+
+
+def test_mask_valid_extent_empty_mask_raises():
+    """An empty mask (shapefile/grid don't overlap, e.g. a projected-CRS file
+    masked without normalization) must fail fast, not export all-NaN npys."""
+    from pl_convlstm_gan_tpu.tools.cmorph import mask_valid_extent
+    with pytest.raises(ValueError, match="CRS"):
+        mask_valid_extent(np.zeros((3, 4), bool), np.arange(4), np.arange(3))
+
+
+def test_normalize_crs_sets_missing_and_reprojects():
+    """CRS normalization (reference cmorph.py:40-44): a CRS-less shapefile is
+    declared EPSG:4326 in place; any other CRS is reprojected to EPSG:4326."""
+    from pl_convlstm_gan_tpu.tools.cmorph import normalize_crs
+
+    class FakeGdf:
+        def __init__(self, crs):
+            self.crs = crs
+            self.calls = []
+
+        def set_crs(self, crs, inplace=False):
+            self.calls.append(("set_crs", crs, inplace))
+            self.crs = crs
+
+        def to_crs(self, crs):
+            self.calls.append(("to_crs", crs))
+            return FakeGdf(crs)
+
+    bare = FakeGdf(None)
+    out = normalize_crs(bare)
+    assert out is bare and out.crs == "EPSG:4326"
+    assert bare.calls == [("set_crs", "EPSG:4326", True)]
+
+    projected = FakeGdf("EPSG:32649")      # UTM 49N — typical for Shanxi
+    out = normalize_crs(projected)
+    assert out is not projected and out.crs == "EPSG:4326"
+    assert projected.calls == [("to_crs", "EPSG:4326")]
+    # an already-geographic file still round-trips through to_crs (a no-op
+    # reprojection), matching the reference's exact branch structure
+    geo = FakeGdf("EPSG:4326")
+    assert normalize_crs(geo).crs == "EPSG:4326"

@@ -293,8 +293,37 @@ def test_async_checkpoint_crash_recovers_completed_pending(tmp_path):
     w2.save(path, dev, {"epoch": 1, "rmse": 0.5})
     w2._ckptr.wait_until_finished()   # serialization done, promotion skipped
     w2._pending = None                # simulate the process dying pre-wait
+    from pl_convlstm_gan_tpu.train import checkpoint as ckpt_mod
+    ckpt_mod._LIVE_PENDING.clear()    # (a dead process has no live registry)
     _, host = restore_checkpoint(path, dev)
     assert host["epoch"] == 1         # completed pending recovered
+    assert not os.path.exists(path + ".pending")
+
+
+def test_restore_skips_pending_owned_by_live_writer(tmp_path):
+    """restore_checkpoint must NOT promote a fully-serialized pending that a
+    live in-process CheckpointWriter still owns — that writer's own wait()
+    will promote it; stealing it here would race the writer into its
+    missing-pending fallback (ADVICE r2)."""
+    from pl_convlstm_gan_tpu.train import CheckpointWriter
+    _, tx, state, _ = _tiny_setup()
+    path = str(tmp_path / "ck")
+    dev = {"params": state.params, "opt_state": state.opt_state,
+           "step": state.step}
+    w = CheckpointWriter()
+    w.save(path, dev, {"epoch": 0, "rmse": 1.0})
+    w.close()
+    w2 = CheckpointWriter()
+    w2.save(path, dev, {"epoch": 1, "rmse": 0.5})
+    w2._ckptr.wait_until_finished()   # fully serialized, promotion deferred
+    # a restore of the same path while the writer is live: sees the PREVIOUS
+    # complete checkpoint, leaves the pending alone
+    _, host = restore_checkpoint(path, dev)
+    assert host["epoch"] == 0
+    assert os.path.exists(path + ".pending")
+    w2.close()                        # writer's own wait() promotes cleanly
+    _, host = restore_checkpoint(path, dev)
+    assert host["epoch"] == 1
     assert not os.path.exists(path + ".pending")
 
 
