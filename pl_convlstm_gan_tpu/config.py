@@ -36,7 +36,11 @@ class DataConfig:
     seed: int = 0                  # synthetic-data generation seed
     # random-split permutation seed, default matching the reference's
     # split_dataset_random (fenhe_dataset_split.py:70) so split membership is
-    # stable vs both the reference and pre-existing checkpoints
+    # stable vs the reference. Migration note: sequence-family (forecaster/gan)
+    # checkpoints trained before this key existed split with data.seed (then 0)
+    # — when running --mode eval on those, set split_seed: 0 so the test split
+    # excludes samples they trained on. Generator-family checkpoints always
+    # used 42 and are unaffected.
     split_seed: int = 42
     loader: str = "plain"          # "plain" | "grain"
     worker_count: int = 0          # grain multiprocess workers (0 = in-process)
@@ -109,6 +113,9 @@ class TrainingConfig:
     sampling_decay_epochs: int = 50              # teacher-forcing prob 1 -> 0 over this many epochs
     # categorical nowcasting skill scores (POD/FAR/CSI/HSS) at these thresholds
     eval_thresholds: Optional[List[float]] = None
+    # spectral/gradient sharpness ratios in eval (losses/sharpness.py) — the
+    # metrics the GAN term is supposed to move (blur detection beyond L1/SSIM)
+    eval_sharpness: bool = False
     # resume
     resume_from: Optional[str] = None
 
@@ -125,9 +132,17 @@ class OutputConfig:
 @dataclass
 class MeshConfig:
     """TPU device-mesh layout (TPU-build extension; no reference equivalent —
-    the reference is single-device, src/training/trainer.py:20)."""
+    the reference is single-device, src/training/trainer.py:20).
+
+    ``model_axis > 1`` enables tensor parallelism for the sequence families:
+    a 2-D (data, model) mesh where every ConvLSTM cell is channel-sharded
+    over `model_axis` devices (parallel/tensor_parallel.py) — the scaling
+    path when hidden widths outgrow one chip. data_axis then defaults to
+    n_devices / model_axis."""
     data_axis: int = 0             # 0 => use all available devices on the 'data' axis
     axis_name: str = "data"
+    model_axis: int = 1            # >1 => DP x TP over a 2-D mesh
+    model_axis_name: str = "model"
 
 
 @dataclass
@@ -236,6 +251,22 @@ class Config:
                 "split_precompute requires convlstm_impl 'xla': the "
                 "split-input cell has no pallas variant, so cell1 would "
                 "silently run the XLA path while benchmarks claim pallas")
+        if self.mesh.model_axis > 1:
+            if self.model.family == "generator":
+                raise ValueError(
+                    "mesh.model_axis > 1 (tensor parallelism) supports the "
+                    "sequence families (forecaster/gan); the parity generator "
+                    "is narrow by design (<=32 channels) and stays DP-only")
+            if self.model.convlstm_impl == "pallas":
+                raise ValueError(
+                    "tensor parallelism requires convlstm_impl 'xla'/'auto': "
+                    "the pallas cell computes full-width gates per device")
+            bad = [f for f in self.model.hidden_dims
+                   if f % self.mesh.model_axis]
+            if bad:
+                raise ValueError(
+                    f"hidden_dims {bad} not divisible by "
+                    f"mesh.model_axis={self.mesh.model_axis}")
         if self.model.target_grid_size and not self.model.input_grid_size:
             raise ValueError(
                 "model.target_grid_size requires model.input_grid_size — "

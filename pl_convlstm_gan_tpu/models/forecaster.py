@@ -32,6 +32,9 @@ class _StackedStepCore(nn.Module):
     impl: str
     dtype: Optional[jnp.dtype]
     param_dtype: jnp.dtype
+    tp_shards: int = 1
+    tp_mesh: Optional[object] = None
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, carry, step_inputs):
@@ -46,6 +49,8 @@ class _StackedStepCore(nn.Module):
             h, c = states[li]
             h, c = ConvLSTMCell(feat, self.kernel_size, impl=self.impl,
                                 dtype=self.dtype, param_dtype=self.param_dtype,
+                                tp_shards=self.tp_shards, tp_mesh=self.tp_mesh,
+                                tp_axis=self.tp_axis,
                                 name=f"cell_{li}")(x, h, c)
             new_states.append((h, c))
             x = h
@@ -72,6 +77,13 @@ class ConvLSTMForecaster(nn.Module):
     # split the AD-transposed (backward) scan into two scans — an XLA
     # scheduling lever on the bwd pass, which dominates the train step
     scan_split_transpose: bool = False
+    # tensor parallelism: channel-shard every cell over `tp_shards` devices on
+    # the mesh's `tp_axis` (params in shard-major per-gate layout — see
+    # ops.convlstm.convlstm_step_tp and parallel.tensor_parallel). The scaling
+    # path for hidden widths beyond one chip; hidden_dims must divide tp_shards.
+    tp_shards: int = 1
+    tp_mesh: Optional[object] = None   # jax.sharding.Mesh (static attribute)
+    tp_axis: str = "model"
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
 
@@ -81,6 +93,10 @@ class ConvLSTMForecaster(nn.Module):
         training; at inference leave both unset (pure autoregressive rollout)."""
         b, t_in, c, h, w = frames.shape
         assert t_in == self.input_frames, (t_in, self.input_frames)
+        if self.tp_shards > 1:
+            bad = [f for f in self.hidden_dims if f % self.tp_shards]
+            assert not bad, (
+                f"hidden_dims {bad} not divisible by tp_shards={self.tp_shards}")
         t_out = self.output_frames
         steps = t_in + t_out - 1
         cdtype = self.dtype or frames.dtype
@@ -146,7 +162,9 @@ class ConvLSTMForecaster(nn.Module):
                        _split_transpose=self.scan_split_transpose)(
             hidden_dims=tuple(self.hidden_dims), out_channels=c,
             kernel_size=self.kernel_size, impl=self.convlstm_impl,
-            dtype=cdtype, param_dtype=self.param_dtype, name="core")
+            dtype=cdtype, param_dtype=self.param_dtype,
+            tp_shards=self.tp_shards, tp_mesh=self.tp_mesh,
+            tp_axis=self.tp_axis, name="core")
         _, outs = core(carry0, (frame_seq, use_frame, teacher_seq, use_teacher))
 
         preds = outs[t_in - 1:t_in - 1 + t_out]                     # [T_out,B,H,W,C]

@@ -11,8 +11,11 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from ..ops.convlstm import (ConvLSTMParams, convlstm_precompute_x,
-                            convlstm_step, convlstm_step_precomputed)
+                            convlstm_step, convlstm_step_precomputed,
+                            convlstm_step_tp)
 from ..ops.nn import conv2d, torch_bias_init, torch_kernel_init
 from ..ops.pixel_shuffle import pixel_shuffle
 
@@ -47,12 +50,21 @@ class ConvLSTMCell(nn.Module):
     """One ConvLSTM cell (reference: src/models/convlstm.py:4-28) as a flax module.
 
     The actual step runs through ``ops.convlstm.convlstm_step`` so the XLA and Pallas
-    implementations are interchangeable under identical parameters."""
+    implementations are interchangeable under identical parameters.
+
+    ``tp_shards > 1`` runs the tensor-parallel variant: parameters are held in
+    the shard-major per-gate layout (ops.convlstm.convlstm_step_tp) so a plain
+    last-axis PartitionSpec over the 'model' mesh axis channel-shards the cell;
+    ``tp_mesh`` (the 2-D device mesh) anchors sharding propagation inside the
+    scan with with_sharding_constraint."""
     features: int
     kernel_size: int = 3
     impl: str = "xla"
     dtype: Optional[jnp.dtype] = None
     param_dtype: jnp.dtype = jnp.float32
+    tp_shards: int = 1
+    tp_mesh: Optional[object] = None   # jax.sharding.Mesh (hashable, static)
+    tp_axis: str = "model"
 
     @nn.compact
     def __call__(self, x, h, c):
@@ -64,6 +76,16 @@ class ConvLSTMCell(nn.Module):
                           (4 * self.features,), self.param_dtype)
         dtype = self.dtype or x.dtype
         params = ConvLSTMParams(kernel.astype(dtype), bias.astype(dtype))
+        if self.tp_shards > 1:
+            if self.impl == "pallas":
+                raise ValueError("tensor parallelism requires the XLA cell")
+            constrain = None
+            if self.tp_mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                sh = NamedSharding(self.tp_mesh, P(None, None, None, self.tp_axis))
+                constrain = lambda a: jax.lax.with_sharding_constraint(a, sh)
+            return convlstm_step_tp(params, x.astype(dtype), h.astype(dtype),
+                                    c.astype(dtype), self.tp_shards, constrain)
         return convlstm_step(params, x.astype(dtype), h.astype(dtype),
                              c.astype(dtype), impl=self.impl)
 

@@ -69,6 +69,61 @@ def convlstm_step(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
 
 
 # --------------------------------------------------------------------------
+# tensor-parallel cell: shard-major per-gate kernel layout + GSPMD shardings.
+#
+# To run the cell channel-sharded over a 'model' mesh axis, the kernel's
+# output axis is stored PERMUTED shard-major ([i_0|f_0|o_0|g_0 | i_1|...],
+# parallel.tensor_parallel.shard_cell_params): a plain contiguous
+# PartitionSpec(..., 'model') on the 4*Ch axis then gives every shard its own
+# complete (i, f, o, g) gate blocks for its contiguous slice of the hidden
+# channels — the Megatron column-parallel layout, expressed as data layout
+# rather than per-device code. The gate math below reads that layout via a
+# free reshape, so the WHOLE program stays a single global jit program:
+# XLA's partitioner inserts the collectives (gather of h for the conv
+# contraction, grad reductions) and differentiates them correctly — no
+# manual shard_map/psum plumbing on the training path.
+# --------------------------------------------------------------------------
+
+def convlstm_gates_tp(z: jnp.ndarray, c: jnp.ndarray, n_shards: int):
+    """Gate math for the shard-major per-gate layout.
+
+    z: [..., 4*Ch] pre-activations laid out [i_0|f_0|o_0|g_0 | i_1|...]
+    (shard s holds gates for canonical hidden channels [s*Ch/n:(s+1)*Ch/n]);
+    c: [..., Ch] canonical channel order. Returns (h', c') in canonical
+    order — the layout is reshape-only, so numerics match ``convlstm_gates``
+    on the un-permuted kernel exactly."""
+    ch = c.shape[-1]
+    chl = ch // n_shards
+    zr = z.reshape(*z.shape[:-1], n_shards, 4, chl)
+    cr = c.reshape(*c.shape[:-1], n_shards, chl)
+    i = jax.nn.sigmoid(zr[..., 0, :])
+    f = jax.nn.sigmoid(zr[..., 1, :])
+    o = jax.nn.sigmoid(zr[..., 2, :])
+    g = jnp.tanh(zr[..., 3, :])
+    c_next = f * cr + i * g
+    h_next = o * jnp.tanh(c_next)
+    return h_next.reshape(c.shape), c_next.reshape(c.shape)
+
+
+def convlstm_step_tp(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
+                     c: jnp.ndarray, n_shards: int, constrain=None):
+    """One ConvLSTM step with shard-major per-gate params (see above).
+
+    ``constrain``: optional fn(array) -> array applying the channel-axis
+    ``with_sharding_constraint`` (last axis over the 'model' mesh axis) to the
+    pre-activations and the new states, anchoring XLA's sharding propagation
+    inside the scan body."""
+    xh = jnp.concatenate([x, h], axis=-1)
+    z = conv2d(xh, params.kernel, params.bias, padding="SAME")
+    if constrain is not None:
+        z = constrain(z)
+    h_next, c_next = convlstm_gates_tp(z, c, n_shards)
+    if constrain is not None:
+        h_next, c_next = constrain(h_next), constrain(c_next)
+    return h_next, c_next
+
+
+# --------------------------------------------------------------------------
 # split-input cell: conv(concat(x, h)) == conv_x(x) + conv_h(h) by linearity.
 # When ALL timestep inputs are known before the recurrence (the Generator's
 # encode — reference generator.py:164-171 recomputes the x-side conv inside

@@ -50,6 +50,24 @@ def make_mesh(data_axis_size: int = 0, axis_name: str = "data",
     return Mesh(np.asarray(devices[:n]), (axis_name,))
 
 
+def make_mesh_2d(data_axis_size: int = 0, model_axis_size: int = 1,
+                 axis_names: Sequence[str] = ("data", "model"),
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """2-D (data, model) mesh for DP x TP. Model-axis neighbors are adjacent
+    device ids (reshape row-major, model minor) so the per-step tensor-parallel
+    collectives ride the shortest ICI hops; the data axis only carries one
+    gradient all-reduce per step and tolerates longer paths."""
+    devices = list(devices if devices is not None else jax.devices())
+    m = model_axis_size or 1
+    d = data_axis_size or len(devices) // m
+    if d * m > len(devices):
+        raise ValueError(f"Requested {d}x{m} devices, have {len(devices)}")
+    if m < 1 or d < 1:
+        raise ValueError(f"Invalid mesh shape {d}x{m}")
+    grid = np.asarray(devices[:d * m]).reshape(d, m)
+    return Mesh(grid, tuple(axis_names))
+
+
 def batch_sharding(mesh: Mesh, axis_name: str = "data") -> NamedSharding:
     """Shard the leading (batch) dim across the data axis."""
     return NamedSharding(mesh, P(axis_name))

@@ -21,7 +21,8 @@ from ..config import Config, load_config
 from ..data import (SyntheticSequenceDataset, batch_iterator, prefetch_to_device,
                     split_dataset_random)
 from ..models import ConvLSTMForecaster, Discriminator
-from ..parallel.mesh import batch_sharding, make_mesh, replicate
+from ..parallel.mesh import (batch_sharding, make_mesh, make_mesh_2d,
+                             replicate)
 from ..utils.visualization import (plot_sequence_comparison,
                                    plot_training_curves)
 from .checkpoint import CheckpointWriter, restore_checkpoint
@@ -56,12 +57,27 @@ class SequenceTrainer:
             min_delta=tc.early_stopping_min_delta, mode="min",
             verbose=True) if tc.use_early_stopping else None
 
-        self.mesh = make_mesh(self.config.mesh.data_axis,
-                              self.config.mesh.axis_name)
+        mcfg = self.config.mesh
+        self.n_model = mcfg.model_axis
+        self.tensor_parallel = self.n_model > 1
+        if self.tensor_parallel:
+            # 2-D (data, model) mesh: cells channel-sharded over the model
+            # axis, batch over the data axis, one GSPMD program (DP grad
+            # reduction inserted by the partitioner) — parallel/tensor_parallel
+            self.mesh = make_mesh_2d(mcfg.data_axis, self.n_model,
+                                     (mcfg.axis_name, mcfg.model_axis_name))
+            self.n_data = int(self.mesh.shape[mcfg.axis_name])
+            self.data_parallel = False   # DP rides the same GSPMD program
+            print(f"DPxTP mesh: {dict(self.mesh.shape)}")
+        else:
+            self.mesh = make_mesh(mcfg.data_axis, mcfg.axis_name)
+            self.n_data = self.mesh.devices.size
+            self.data_parallel = self.n_data > 1
+            if self.data_parallel:
+                print(f"Data parallelism over {self.n_data} devices")
         self.n_devices = self.mesh.devices.size
-        self.data_parallel = self.n_devices > 1
-        if self.data_parallel:
-            print(f"Data parallelism over {self.n_devices} devices")
+        # batches are placed sharded-on-'data' whenever a mesh is in play
+        self.batch_sharded = self.data_parallel or self.tensor_parallel
 
     # ------------------------------------------------------------------ data
     def setup_data(self):
@@ -90,8 +106,8 @@ class SequenceTrainer:
 
     def _loader(self, dataset, shuffle: bool, epoch: int = 0):
         bs = self.config.training.batch_size
-        if self.data_parallel and bs % self.n_devices != 0:
-            raise ValueError(f"batch_size {bs} not divisible by {self.n_devices}")
+        if self.batch_sharded and bs % self.n_data != 0:
+            raise ValueError(f"batch_size {bs} not divisible by {self.n_data}")
         if self.config.data.loader == "grain":
             from ..data.pipeline import make_grain_loader
             it = make_grain_loader(dataset, bs, shuffle=shuffle,
@@ -101,7 +117,7 @@ class SequenceTrainer:
             it = batch_iterator(dataset, bs, shuffle=shuffle,
                                 seed=self.config.training.seed, drop_last=True,
                                 epoch=epoch)
-        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        sharding = batch_sharding(self.mesh) if self.batch_sharded else None
         return prefetch_to_device(it, size=2, sharding=sharding)
 
     # ----------------------------------------------------------------- model
@@ -117,7 +133,10 @@ class SequenceTrainer:
             kernel_size=mc.kernel_size,
             convlstm_impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
             remat=mc.remat, remat_policy=mc.remat_policy,
-            scan_unroll=mc.scan_unroll, dtype=dtype)
+            scan_unroll=mc.scan_unroll, dtype=dtype,
+            tp_shards=self.n_model if self.tensor_parallel else 1,
+            tp_mesh=self.mesh if self.tensor_parallel else None,
+            tp_axis=self.config.mesh.model_axis_name)
 
         b = tc.batch_size
         ds = dataset or getattr(self, "_full_dataset", None)
@@ -149,7 +168,13 @@ class SequenceTrainer:
             state = GANTrainState(params, dparams, self.tx.init(params),
                                   self.disc_tx.init(dparams),
                                   jnp.zeros((), jnp.int32))
-            if self.data_parallel:
+            if self.tensor_parallel:
+                state, shardings = self._place_tp_state(state)
+                self.train_step = make_gan_train_step(
+                    self.model.apply, self.disc.apply, self.tx, self.disc_tx,
+                    tc.lambda_adv, tc.lambda_l1, tc.label_smoothing,
+                    shardings=shardings)
+            elif self.data_parallel:
                 from ..parallel.train_parallel import make_dp_gan_train_step
                 self.train_step = make_dp_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
@@ -162,7 +187,11 @@ class SequenceTrainer:
         else:
             state = TrainState(params, self.tx.init(params),
                                jnp.zeros((), jnp.int32))
-            if self.data_parallel:
+            if self.tensor_parallel:
+                state, shardings = self._place_tp_state(state)
+                self.train_step = make_forecaster_train_step(
+                    self.model.apply, self.tx, shardings=shardings)
+            elif self.data_parallel:
                 from ..parallel.train_parallel import make_dp_forecaster_train_step
                 self.train_step = make_dp_forecaster_train_step(
                     self.model.apply, self.tx, self.mesh,
@@ -174,10 +203,35 @@ class SequenceTrainer:
             state = replicate(state, self.mesh)
         self.state = state
         thresholds = tuple(tc.eval_thresholds) if tc.eval_thresholds else None
-        self.eval_step = make_forecaster_eval_step(self.model.apply, thresholds)
+        self.eval_step = make_forecaster_eval_step(self.model.apply, thresholds,
+                                                   sharpness=tc.eval_sharpness)
 
         if tc.resume_from:
             self.restore(tc.resume_from)
+
+    # --------------------------------------------------------------------- tp
+    def _place_tp_state(self, state):
+        """Place a train state over the 2-D (data, model) mesh: cell kernels/
+        biases (and their adam moments) sharded on the model axis, everything
+        else replicated. Returns (placed_state, shardings_for_the_step) —
+        params come out of init in the shard-major per-gate layout already
+        (the model was built with tp_shards > 1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.tensor_parallel import tp_state_shardings
+        axis = self.config.mesh.model_axis_name
+        state_sh = tp_state_shardings(state, self.mesh, axis)
+        state = jax.device_put(state, state_sh)
+        rep = NamedSharding(self.mesh, P())
+        return state, (state_sh, batch_sharding(self.mesh), rep)
+
+    def _tp_layout(self, tree, to_canonical: bool):
+        """Convert every cell kernel/bias leaf (params AND adam moments)
+        between the TP shard-major layout and the canonical [i|f|o|g] layout.
+        Checkpoints are ALWAYS canonical so they interchange with
+        single-device runs, eval/predict/export tools, and different
+        model_axis sizes."""
+        from ..parallel.tensor_parallel import tp_permute_tree
+        return tp_permute_tree(tree, self.n_model, inverse=to_canonical)
 
     # ------------------------------------------------------------- schedules
     def teacher_forcing_prob(self, epoch: int) -> float:
@@ -199,7 +253,7 @@ class SequenceTrainer:
         from ..data.pipeline import eval_batches, put_global_batch
         from .steps import aggregate_sequence_eval
         params = self.state.gen_params if self.is_gan else self.state.params
-        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        sharding = batch_sharding(self.mesh) if self.batch_sharded else None
         acc = []
         for batch, n_valid in eval_batches(dataset,
                                            self.config.training.batch_size):
@@ -368,13 +422,17 @@ class SequenceTrainer:
     # ------------------------------------------------------------ checkpoint
     def _device_state_dict(self):
         if self.is_gan:
-            return {"gen_params": self.state.gen_params,
-                    "disc_params": self.state.disc_params,
-                    "gen_opt_state": self.state.gen_opt_state,
-                    "disc_opt_state": self.state.disc_opt_state,
-                    "step": self.state.step}
-        return {"params": self.state.params, "opt_state": self.state.opt_state,
-                "step": self.state.step}
+            d = {"gen_params": self.state.gen_params,
+                 "disc_params": self.state.disc_params,
+                 "gen_opt_state": self.state.gen_opt_state,
+                 "disc_opt_state": self.state.disc_opt_state,
+                 "step": self.state.step}
+        else:
+            d = {"params": self.state.params, "opt_state": self.state.opt_state,
+                 "step": self.state.step}
+        if self.tensor_parallel:
+            d = self._tp_layout(d, to_canonical=True)
+        return d
 
     def _host_state(self, epoch: int, metric: float) -> Dict:
         return {"epoch": epoch, "metric": metric, "history": self.history,
@@ -395,6 +453,9 @@ class SequenceTrainer:
         self._ckpt_writer.wait()  # finalize any in-flight save of this path
         target = self._device_state_dict()
         device_state, host_state = restore_checkpoint(path, target)
+        if self.tensor_parallel:
+            # checkpoint is canonical; back to the TP shard-major layout
+            device_state = self._tp_layout(device_state, to_canonical=False)
         if self.is_gan:
             self.state = GANTrainState(
                 device_state["gen_params"], device_state["disc_params"],
@@ -404,6 +465,8 @@ class SequenceTrainer:
             self.state = TrainState(device_state["params"],
                                     device_state["opt_state"],
                                     device_state["step"])
+        if self.tensor_parallel:
+            self.state, _ = self._place_tp_state(self.state)
         if self.data_parallel:
             self.state = replicate(self.state, self.mesh)
         self.history = host_state["history"]

@@ -193,10 +193,17 @@ def aggregate_generator_eval(metric_batches, loss_cfg: Dict
 # forecaster family (nowcasting; north-star configs #1/#3/#4)
 # --------------------------------------------------------------------------
 
-def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformation
-                               ) -> Callable:
+def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                               shardings: Optional[Tuple] = None) -> Callable:
     """step(state, batch, lr, tf_prob, rng) -> (state, metrics).
-    batch = (inputs [B,T_in,1,H,W], targets [B,T_out,1,H,W]); loss = L1."""
+    batch = (inputs [B,T_in,1,H,W], targets [B,T_out,1,H,W]); loss = L1.
+
+    ``shardings`` = (state_shardings, batch_sharding, replicated) jits the SAME
+    single-program step with explicit placements — the GSPMD DPxTP path
+    (parallel.tensor_parallel): batch sharded on 'data', cell params sharded
+    on 'model', XLA inserts the gather/grad-reduction collectives. The loss
+    (and hence the NaN-skip decision) is computed on the GLOBAL batch, so no
+    per-shard pmean plumbing is needed."""
 
     def loss_fn(params, inputs, targets, tf_prob, rng):
         pred = apply_fn(params, inputs, targets=targets,
@@ -218,18 +225,31 @@ def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformat
         metrics = {"total": total, "skipped": (~ok).astype(jnp.int32)}
         return new_state, metrics
 
+    if shardings is not None:
+        state_sh, batch_sh, rep = shardings
+        # out state shardings pinned to the input ones: otherwise the
+        # partitioner may pick its own (e.g. head-conv grads arrive sharded
+        # on the contraction dim) and the NEXT call's in_shardings mismatch
+        return jax.jit(step,
+                       in_shardings=(state_sh, (batch_sh, batch_sh), rep, rep,
+                                     rep),
+                       out_shardings=(state_sh, None),
+                       donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))
 
 
 def make_forecaster_eval_step(apply_fn: Callable,
-                              score_thresholds: Optional[Tuple[float, ...]] = None
-                              ) -> Callable:
+                              score_thresholds: Optional[Tuple[float, ...]] = None,
+                              sharpness: bool = False) -> Callable:
     """eval(params, batch, n_valid) -> {metric: (sum, weight)} on free-running
     rollout; wrap-padded rows (index >= n_valid) carry weight zero inside jit.
     Skill-score contingency counts ride along raw so the host computes ratios of
-    GLOBAL counts, not averages of per-batch ratios. Combine with
+    GLOBAL counts, not averages of per-batch ratios. ``sharpness`` adds the
+    spectral/gradient sharpness sums (losses/sharpness.py) — the metrics that
+    separate blurry from sharp rollouts where L1/SSIM cannot. Combine with
     ``aggregate_sequence_eval``."""
     from ..losses.metrics import contingency_counts
+    from ..losses.sharpness import sharpness_sums
 
     def evaluate(params, batch, n_valid):
         inputs, targets = batch
@@ -244,6 +264,8 @@ def make_forecaster_eval_step(apply_fn: Callable,
         for th in (score_thresholds or ()):
             hits, miss, fa, cn = contingency_counts(pred, targets, th, valid)
             out[f"counts@{th:g}"] = (jnp.stack([hits, miss, fa, cn]), nv)
+        if sharpness:
+            out.update(sharpness_sums(pred, targets, valid))
         return out
 
     return jax.jit(evaluate)
@@ -268,6 +290,11 @@ def aggregate_sequence_eval(metric_batches) -> Optional[Dict[str, float]]:
             out.update({f"{s}@{th}": float(v) for s, v in scores.items()})
         else:
             out[k] = float(num) / wt if wt > 0 else 0.0
+    # sharpness ratios from the exact global means (1.0 = target sharpness)
+    for name in ("hf", "gm"):
+        p, t = out.pop(f"sharp_{name}_pred", None), out.pop(f"sharp_{name}_true", None)
+        if p is not None:
+            out[f"sharp_{name}_ratio"] = p / t if t else float("nan")
     return out
 
 
@@ -279,11 +306,16 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                         gen_tx: optax.GradientTransformation,
                         disc_tx: optax.GradientTransformation,
                         lambda_adv: float = 0.001, lambda_l1: float = 1.0,
-                        label_smoothing: float = 0.0) -> Callable:
+                        label_smoothing: float = 0.0,
+                        shardings: Optional[Tuple] = None) -> Callable:
     """step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state, metrics).
 
     batch = (inputs, targets). One compiled program performs: G forward ->
-    D update on (real, stop_grad(fake)) -> G update against the *updated* D."""
+    D update on (real, stop_grad(fake)) -> G update against the *updated* D.
+
+    ``shardings`` = (state_shardings, batch_sharding, replicated): the GSPMD
+    DPxTP path — G's cells channel-sharded on 'model', D replicated over it,
+    batch on 'data' (see make_forecaster_train_step)."""
 
     def step(state: GANTrainState, batch, g_lr, d_lr, tf_prob, rng):
         inputs, targets = batch
@@ -334,4 +366,11 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                    **d_parts, **g_parts}
         return new_state, metrics
 
+    if shardings is not None:
+        state_sh, batch_sh, rep = shardings
+        return jax.jit(step,
+                       in_shardings=(state_sh, (batch_sh, batch_sh), rep, rep,
+                                     rep, rep),
+                       out_shardings=(state_sh, None),
+                       donate_argnums=(0,))
     return jax.jit(step, donate_argnums=(0,))

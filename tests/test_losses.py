@@ -284,3 +284,50 @@ def test_ssim_gradient_finite_on_constant_windows():
                               ((0, 0), (0, 8), (0, 0))))
     g2 = jax.grad(lambda p: ssim(p, tgt2))(pred)
     assert np.isfinite(np.asarray(g2)).all()
+
+
+def test_sharpness_metrics_order_blur():
+    """Property: blurring reduces both the high-frequency power fraction and
+    the mean gradient magnitude — the sharpness metrics must rank
+    sharp > blurred (losses/sharpness.py; GAN-quality instrumentation)."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.losses.sharpness import (grad_mag_mean,
+                                                      hf_energy_fraction)
+    rng = np.random.default_rng(0)
+    sharp = rng.random((2, 3, 1, 16, 16)).astype(np.float32)
+    # 3x3 box blur, same shape (edge-padded)
+    p = np.pad(sharp, ((0, 0), (0, 0), (0, 0), (1, 1), (1, 1)), mode="edge")
+    blurred = sum(p[..., i:i + 16, j:j + 16]
+                  for i in range(3) for j in range(3)) / 9.0
+    hf_s, hf_b = hf_energy_fraction(jnp.asarray(sharp)), \
+        hf_energy_fraction(jnp.asarray(blurred))
+    gm_s, gm_b = grad_mag_mean(jnp.asarray(sharp)), \
+        grad_mag_mean(jnp.asarray(blurred))
+    assert np.all(np.asarray(hf_s) > np.asarray(hf_b))
+    assert np.all(np.asarray(gm_s) > np.asarray(gm_b))
+    assert np.all(np.asarray(hf_s) <= 1.0) and np.all(np.asarray(hf_b) >= 0.0)
+
+
+def test_sharpness_ratio_in_eval_aggregation():
+    """eval step with sharpness=True emits sums that aggregate to pred/target
+    ratios; identical pred==target gives ratio 1.0 exactly."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.train.steps import (aggregate_sequence_eval,
+                                                 make_forecaster_eval_step)
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(rng.random((4, 2, 1, 8, 8)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((4, 3, 1, 8, 8)).astype(np.float32))
+
+    # identity "model": predict the target itself -> all ratios exactly 1
+    ev = make_forecaster_eval_step(lambda p, x: tgt, sharpness=True)
+    out = aggregate_sequence_eval([ev({}, (frames, tgt), jnp.asarray(4))])
+    assert out["sharp_hf_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert out["sharp_gm_ratio"] == pytest.approx(1.0, abs=1e-6)
+
+    # a blurrier "prediction" scores < 1 on both
+    blur = jnp.asarray(np.repeat(np.repeat(
+        np.asarray(tgt)[..., ::2, ::2], 2, axis=-1), 2, axis=-2))
+    ev2 = make_forecaster_eval_step(lambda p, x: blur, sharpness=True)
+    out2 = aggregate_sequence_eval([ev2({}, (frames, tgt), jnp.asarray(4))])
+    assert out2["sharp_hf_ratio"] < 1.0
+    assert out2["sharp_gm_ratio"] < 1.0

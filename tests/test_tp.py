@@ -1,0 +1,303 @@
+"""Tensor parallelism (the trainable GSPMD path, parallel/tensor_parallel.py):
+layout converters, cell/forecaster parity vs the canonical single-device math,
+DPxTP train-step parity, compiled-collective evidence, and trainer e2e with
+canonical checkpoints. Runs on the 8-way virtual CPU mesh (conftest)."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+from pl_convlstm_gan_tpu.ops.convlstm import (ConvLSTMParams, convlstm_step_tp,
+                                              convlstm_step_xla)
+from pl_convlstm_gan_tpu.parallel import (batch_sharding, make_mesh_2d,
+                                          shard_cell_params, tp_permute_tree,
+                                          tp_state_shardings,
+                                          unshard_cell_params)
+from pl_convlstm_gan_tpu.train import (TrainState, make_forecaster_train_step,
+                                       make_optimizer)
+
+
+def _cell_params(rng, cin, ch, k=3):
+    kern = jnp.asarray((rng.random((k, k, cin + ch, 4 * ch)) - 0.5) * 0.2,
+                       jnp.float32)
+    bias = jnp.asarray(rng.random(4 * ch) * 0.1, jnp.float32)
+    return ConvLSTMParams(kern, bias)
+
+
+def test_tp_gate_math_matches_canonical(rng):
+    """convlstm_step_tp on shard-major permuted params == convlstm_step_xla on
+    canonical params, exactly (the layout is a pure permutation/reshape)."""
+    params = _cell_params(rng, 1, 8)
+    x = jnp.asarray(rng.random((2, 8, 8, 1)), jnp.float32)
+    h = jnp.asarray(rng.random((2, 8, 8, 8)), jnp.float32)
+    c = jnp.asarray(rng.random((2, 8, 8, 8)), jnp.float32)
+    h_ref, c_ref = convlstm_step_xla(params, x, h, c)
+    for n in (1, 2, 4):
+        h_tp, c_tp = convlstm_step_tp(shard_cell_params(params, n), x, h, c, n)
+        np.testing.assert_array_equal(np.asarray(h_tp), np.asarray(h_ref))
+        np.testing.assert_array_equal(np.asarray(c_tp), np.asarray(c_ref))
+
+
+def test_layout_converters_roundtrip(rng):
+    params = _cell_params(rng, 3, 8)
+    for n in (2, 4):
+        back = unshard_cell_params(shard_cell_params(params, n), n)
+        np.testing.assert_array_equal(np.asarray(back.kernel),
+                                      np.asarray(params.kernel))
+        np.testing.assert_array_equal(np.asarray(back.bias),
+                                      np.asarray(params.bias))
+
+
+def _init_forecaster(hidden, tp_shards=1, mesh=None, t_in=2, t_out=3, size=8,
+                     batch=4):
+    rng = np.random.default_rng(0)
+    inputs = jnp.asarray(rng.random((batch, t_in, 1, size, size)), jnp.float32)
+    targets = jnp.asarray(rng.random((batch, t_out, 1, size, size)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=hidden, input_frames=t_in,
+                               output_frames=t_out, tp_shards=tp_shards,
+                               tp_mesh=mesh)
+    return model, inputs, targets
+
+
+def test_tp_tree_permutation_matches_cell_converter(rng):
+    """tp_permute_tree hits exactly the cell kernels/biases in a forecaster
+    param tree (head conv untouched) and matches shard_cell_params."""
+    model, inputs, _ = _init_forecaster((8, 8))
+    params = model.init(jax.random.PRNGKey(0), inputs)
+    tp = tp_permute_tree(params, 2)
+    core = params["params"]["core"]
+    tp_core = tp["params"]["core"]
+    for cell in ("cell_0", "cell_1"):
+        want = shard_cell_params(
+            ConvLSTMParams(core[cell]["kernel"], core[cell]["bias"]), 2)
+        np.testing.assert_array_equal(np.asarray(tp_core[cell]["kernel"]),
+                                      np.asarray(want.kernel))
+        np.testing.assert_array_equal(np.asarray(tp_core[cell]["bias"]),
+                                      np.asarray(want.bias))
+    np.testing.assert_array_equal(np.asarray(tp_core["head"]["kernel"]),
+                                  np.asarray(core["head"]["kernel"]))
+    # round trip
+    back = tp_permute_tree(tp, 2, inverse=True)
+    for a, b in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_tp_forecaster_apply_matches_single_device(shape):
+    """TP forecaster (sharded params over a 2-D mesh) == canonical forecaster
+    on the same (permuted) weights — free-running rollout."""
+    n_data, n_model = shape
+    mesh = make_mesh_2d(n_data, n_model)
+    ref_model, inputs, _ = _init_forecaster((8, 8))
+    params = ref_model.init(jax.random.PRNGKey(0), inputs)
+    ref = ref_model.apply(params, inputs)
+
+    tp_model = ConvLSTMForecaster(hidden_dims=(8, 8), input_frames=2,
+                                  output_frames=3, tp_shards=n_model,
+                                  tp_mesh=mesh)
+    tp_params = jax.device_put(tp_permute_tree(params, n_model),
+                               tp_state_shardings(params, mesh))
+    out = jax.jit(tp_model.apply)(
+        tp_params, jax.device_put(inputs, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_tp_forecaster_wide_hidden_parity():
+    """Parity at a hidden width where TP is actually motivated (256 channels,
+    4-way model sharding = 64ch per shard)."""
+    mesh = make_mesh_2d(2, 4)
+    ref_model, inputs, _ = _init_forecaster((256,), t_in=2, t_out=2, batch=2)
+    params = ref_model.init(jax.random.PRNGKey(0), inputs)
+    ref = jax.jit(ref_model.apply)(params, inputs)
+    tp_model = ConvLSTMForecaster(hidden_dims=(256,), input_frames=2,
+                                  output_frames=2, tp_shards=4, tp_mesh=mesh)
+    tp_params = jax.device_put(tp_permute_tree(params, 4),
+                               tp_state_shardings(params, mesh))
+    out = jax.jit(tp_model.apply)(
+        tp_params, jax.device_put(inputs, batch_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def _tp_train_setup(n_data, n_model, hidden=(8, 8), steps=3):
+    mesh = make_mesh_2d(n_data, n_model)
+    ref_model, inputs, targets = _init_forecaster(hidden)
+    params = ref_model.init(jax.random.PRNGKey(0), inputs)
+    tx = make_optimizer(0.5)
+
+    # the permuted tree SHARES non-cell buffers with `params`, and the
+    # reference loop donates its state — give each trajectory its own copies
+    tp_params = jax.tree_util.tree_map(jnp.copy, tp_permute_tree(params, n_model))
+
+    # single-device reference trajectory
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    step = make_forecaster_train_step(ref_model.apply, tx)
+    lr, tf = jnp.asarray(1e-2), jnp.asarray(0.5)
+    key = jax.random.PRNGKey(7)
+    for _ in range(steps):
+        state, ref_metrics = step(state, (inputs, targets), lr, tf, key)
+
+    # DPxTP trajectory from the same start
+    tp_model = ConvLSTMForecaster(hidden_dims=hidden, input_frames=2,
+                                  output_frames=3, tp_shards=n_model,
+                                  tp_mesh=mesh)
+    tp_state = TrainState(tp_params, tx.init(tp_params),
+                          jnp.zeros((), jnp.int32))
+    state_sh = tp_state_shardings(tp_state, mesh)
+    tp_state = jax.device_put(tp_state, state_sh)
+    rep = NamedSharding(mesh, P())
+    tp_step = make_forecaster_train_step(
+        tp_model.apply, tx,
+        shardings=(state_sh, batch_sharding(mesh), rep))
+    batch = (jax.device_put(inputs, batch_sharding(mesh)),
+             jax.device_put(targets, batch_sharding(mesh)))
+    for _ in range(steps):
+        tp_state, tp_metrics = tp_step(tp_state, batch, lr, tf, key)
+    return state, ref_metrics, tp_state, tp_metrics, tp_step, batch, lr, tf, key
+
+
+def test_tp_train_step_matches_single_device():
+    """3 DPxTP train steps == 3 single-device steps: same loss, same params
+    after canonicalization. The GSPMD program IS the single-device program —
+    scheduled-sampling draws, NaN-skip, clipping all agree by construction."""
+    state, ref_m, tp_state, tp_m, *_ = _tp_train_setup(4, 2)
+    assert np.isfinite(float(tp_m["total"]))
+    np.testing.assert_allclose(float(tp_m["total"]), float(ref_m["total"]),
+                               rtol=1e-5)
+    canon = tp_permute_tree(tp_state.params, 2, inverse=True)
+    for a, b in zip(jax.tree_util.tree_leaves(canon),
+                    jax.tree_util.tree_leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_tp_train_step_compiles_with_collectives():
+    """The compiled DPxTP step must contain cross-device collectives (the h
+    gather on 'model' / grad reduction on 'data') — i.e. the partitioner
+    really sharded the program rather than replicating it."""
+    _, _, tp_state, _, tp_step, batch, lr, tf, key = \
+        _tp_train_setup(2, 4, steps=1)
+    txt = tp_step.lower(tp_state, batch, lr, tf, key).compile().as_text()
+    assert any(op in txt for op in
+               ("all-reduce", "all-gather", "collective-permute",
+                "reduce-scatter", "all-to-all")), "no collectives in HLO"
+
+
+def test_tp_state_sharding_specs():
+    """Cell kernels/biases (and adam moments) sharded on 'model'; head conv,
+    counters replicated."""
+    mesh = make_mesh_2d(4, 2)
+    model, inputs, _ = _init_forecaster((8, 8))
+    params = model.init(jax.random.PRNGKey(0), inputs)
+    tx = make_optimizer(0.5)
+    state = TrainState(params, tx.init(params), jnp.zeros((), jnp.int32))
+    sh = tp_state_shardings(state, mesh)
+    core = sh.params["params"]["core"]
+    assert core["cell_0"]["kernel"].spec == P(None, None, None, "model")
+    assert core["cell_0"]["bias"].spec == P("model")
+    assert core["head"]["kernel"].spec == P()
+    # adam moments mirror the param specs
+    adam = sh.opt_state[1].mu["params"]["core"]
+    assert adam["cell_1"]["kernel"].spec == P(None, None, None, "model")
+    assert sh.step.spec == P()
+
+
+def _tp_config(tmp_path, family="forecaster", model_axis=2):
+    from pl_convlstm_gan_tpu.config import Config
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 24,
+                 "synthetic_image_size": 8},
+        "model": {"family": family, "hidden_dims": [8, 8],
+                  "input_frames": 2, "output_frames": 3,
+                  "disc_features": [8, 16]},
+        "training": {"batch_size": 8, "epochs": 2, "learning_rate": 0.01,
+                     "use_early_stopping": False, "use_split": True,
+                     "split_method": "random", "scheduled_sampling": True,
+                     "sampling_decay_epochs": 2},
+        "mesh": {"model_axis": model_axis},
+        "output": {"output_dir": str(tmp_path / f"tp_{family}"),
+                   "log_interval": 100},
+    })
+    cfg.validate()
+    return cfg
+
+
+def test_tp_trainer_end_to_end(tmp_path):
+    """A mesh.model_axis=2 config trains (DPxTP 4x2 on the 8-device mesh),
+    evaluates, checkpoints CANONICALLY, and the checkpoint restores into a
+    plain single-device trainer with identical eval metrics."""
+    from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+    cfg = _tp_config(tmp_path)
+    tr = SequenceTrainer(config=cfg)
+    assert tr.tensor_parallel and dict(tr.mesh.shape) == {"data": 4, "model": 2}
+    history = tr.train()
+    assert len(history["epoch"]) == 2
+    assert np.isfinite(history["total_loss"][-1])
+    tp_eval = tr.evaluate_test()
+    assert np.isfinite(tp_eval["l1"])
+
+    # the best checkpoint must be canonical: restore into a single-device
+    # trainer (model_axis=1) and get the same held-out metrics
+    cfg1 = _tp_config(tmp_path, model_axis=1)
+    cfg1.mesh.data_axis = 1          # true single-device
+    cfg1.output.output_dir = str(tmp_path / "sd")
+    tr1 = SequenceTrainer(config=cfg1)
+    tr1.setup_data()
+    tr1.setup_model()
+    tr1.restore(os.path.join(str(tmp_path / "tp_forecaster"), "best_model"))
+    sd_eval = tr1.evaluate_test()
+    np.testing.assert_allclose(sd_eval["l1"], tp_eval["l1"], rtol=1e-4)
+    np.testing.assert_allclose(sd_eval["ssim"], tp_eval["ssim"], rtol=1e-4)
+
+
+def test_tp_trainer_resume_roundtrip(tmp_path):
+    """TP trainer restores its own canonical checkpoint back into the TP
+    layout (permute-on-restore) and continues training."""
+    from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+    cfg = _tp_config(tmp_path)
+    tr = SequenceTrainer(config=cfg)
+    tr.train()
+    cfg2 = _tp_config(tmp_path)
+    cfg2.training.epochs = 3
+    cfg2.training.resume_from = os.path.join(
+        str(tmp_path / "tp_forecaster"), "best_model")
+    tr2 = SequenceTrainer(config=cfg2)
+    tr2.setup_data()
+    tr2.setup_model()
+    assert tr2.start_epoch >= 1
+    tr2.train()
+    assert np.isfinite(tr2.history["total_loss"][-1])
+
+
+def test_tp_gan_trainer_smoke(tmp_path):
+    """family=gan under TP: G's cells sharded on 'model', D replicated —
+    one epoch trains with finite losses."""
+    from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+    cfg = _tp_config(tmp_path, family="gan")
+    cfg.training.epochs = 1
+    tr = SequenceTrainer(config=cfg)
+    history = tr.train()
+    assert np.isfinite(history["g_loss"][-1])
+    assert np.isfinite(history["d_loss"][-1])
+
+
+def test_tp_config_validation():
+    from pl_convlstm_gan_tpu.config import Config
+    cfg = Config.from_dict({"model": {"family": "forecaster",
+                                      "hidden_dims": [6, 8]},
+                            "mesh": {"model_axis": 4}})
+    with pytest.raises(ValueError, match="divisible"):
+        cfg.validate()
+    cfg = Config.from_dict({"model": {"family": "generator"},
+                            "mesh": {"model_axis": 2}})
+    with pytest.raises(ValueError, match="generator"):
+        cfg.validate()
+    cfg = Config.from_dict({"model": {"family": "forecaster",
+                                      "hidden_dims": [8],
+                                      "convlstm_impl": "pallas"},
+                            "mesh": {"model_axis": 2}})
+    with pytest.raises(ValueError, match="xla"):
+        cfg.validate()
