@@ -1,0 +1,59 @@
+"""Rollout-latency benchmark: XLA scan rollout vs the multi-step VMEM-resident
+Pallas kernel (ops/pallas/rollout_kernel.py) at the bench serving shape
+(B4, 5-in/10-out, 128x128, hidden (64,64), bf16).
+
+Round-2 VERDICT item 3: the one structurally-different Pallas variant never
+tried — targets the 15.6 ms device-side rollout p50 where per-step HBM state
+round-trips are pure overhead. Run: python experiments/rollout_kernel_bench.py
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
+
+setup_compile_cache()
+
+import jax.numpy as jnp
+
+from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
+
+BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
+
+
+def main():
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE)),
+                         jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=HIDDEN, input_frames=T_IN,
+                               output_frames=T_OUT, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), frames)
+
+    xla_fn = jax.jit(lambda p, x: model.apply(p, x))
+    pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, T_OUT, jnp.bfloat16))
+
+    # numerics first (bf16 tolerance)
+    ref = xla_fn(params, frames)
+    out = pl_fn(params, frames)
+    err = float(jnp.abs(out - ref).max())
+    print(f"max |pallas - xla| = {err:.3e} (bf16 rollout)", flush=True)
+    assert err < 0.1, "rollout kernel numerics diverged"
+
+    for name, fn in (("xla scan", xla_fn), ("pallas multi-step", pl_fn)):
+        res = benchmark_chained(lambda _: fn(params, frames), None,
+                                fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                                chain=10, iters=10)
+        fps = BATCH * T_OUT / res["p50"]
+        print(f"{name}: p50 {res['p50'] * 1e3:.2f} ms/rollout "
+              f"({fps:.0f} frames/s)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -52,7 +52,8 @@ def build_model(config: Config, lu_channels: int = 0,
 
 
 def build_predict_fn(config: Config, checkpoint_path: str,
-                     lu_channels: int = 0, output_frames: int = 0) -> Callable:
+                     lu_channels: int = 0, output_frames: int = 0,
+                     rollout_impl: str = "") -> Callable:
     """Restore params from `checkpoint_path` and return the UNjitted predict
     closure — the single builder behind both in-process inference
     (``load_predictor``) and AOT serving export (``serve.export_model``), so
@@ -67,8 +68,33 @@ def build_predict_fn(config: Config, checkpoint_path: str,
         raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
 
     if config.model.family in ("forecaster", "gan"):
-        def fn(frames):
-            return model.apply(params, frames)
+        impl = rollout_impl or config.model.rollout_impl
+        if impl == "pallas":
+            # multi-step VMEM-resident rollout kernel (whole autoregressive
+            # rollout in one kernel, state never leaves VMEM) — opt-in via
+            # model.rollout_impl; shape-family support checked at trace time
+            from .ops.pallas.rollout_kernel import (rollout_pallas,
+                                                    rollout_pallas_fits)
+            t_out = output_frames or config.model.output_frames
+            cdtype = (jnp.bfloat16
+                      if config.precision.compute_dtype == "bfloat16"
+                      else jnp.float32)
+
+            def fn(frames):
+                b, t_in, c, h, w = frames.shape
+                if not rollout_pallas_fits(
+                        t_in, t_out, b, c, h, w,
+                        tuple(config.model.hidden_dims),
+                        config.model.kernel_size,
+                        jnp.dtype(cdtype).itemsize):
+                    raise ValueError(
+                        "rollout_impl 'pallas' does not support this shape "
+                        "family (needs 2 equal-width cells, 3x3 kernels, "
+                        "1-channel frames, lanes tiling) — use 'xla'")
+                return rollout_pallas(params, frames, t_out, cdtype)
+        else:
+            def fn(frames):
+                return model.apply(params, frames)
     else:
         input_grid_size = (tuple(config.model.input_grid_size)
                            if config.model.input_grid_size else None)

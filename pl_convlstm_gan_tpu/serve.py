@@ -64,7 +64,11 @@ def export_model(config: Config, checkpoint_path: str, example_args: Sequence,
     they determine the compiled program): forecaster/gan families take
     ``(frames,)``; the generator takes ``(rain_lr, dem, lu)``. Returns the
     serialized artifact bytes for ``load_exported``."""
-    fn = build_predict_fn(config, checkpoint_path, lu_channels, output_frames)
+    # export always uses the XLA rollout: the serving artifact must carry
+    # portable TPU+CPU StableHLO lowerings, and the pallas rollout kernel is a
+    # TPU-only Mosaic custom call
+    fn = build_predict_fn(config, checkpoint_path, lu_channels, output_frames,
+                          rollout_impl="xla")
     specs = _example_specs(example_args, batch_polymorphic)
     exported = _jax_export.export(
         jax.jit(fn), platforms=tuple(platforms or DEFAULT_PLATFORMS))(*specs)

@@ -7,14 +7,15 @@ shard_map DP train step -> host-aware eval. The reference has no distribution
 at all (/root/reference/src/training/trainer.py:20); this validates the build's
 multi-host input feed end to end.
 
-Usage: python mp_dp_worker.py <process_id> <num_processes> <port>
+Usage: python mp_dp_worker.py <process_id> <num_processes> <port> [devices_per_proc]
 """
 import os
 import sys
 
 pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3]
+ndev = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+os.environ["XLA_FLAGS"] = f"--xla_force_host_platform_device_count={ndev}"
 
 import jax  # noqa: E402
 
@@ -50,7 +51,7 @@ GLOBAL_BATCH = 8
 ds = SyntheticSequenceDataset(num_sequences=13, input_frames=2, output_frames=2,
                               image_size=8, seed=7)
 mesh = make_mesh()
-assert mesh.devices.size == 4 * nproc
+assert mesh.devices.size == ndev * nproc
 sharding = batch_sharding(mesh)
 
 # --- 1. global-batch assembly correctness -----------------------------------
@@ -68,6 +69,39 @@ for got, exp in zip(global_batches, expected):
             np.testing.assert_array_equal(np.asarray(shard.data),
                                           e_arr[shard.index])
 print(f"PROC {pid}: global batch assembly OK", flush=True)
+
+# --- 1b. grain loader path under real multi-process -------------------------
+# each host's pipeline reads its interleaved shard; the global arrays must
+# carry host p's deterministic grain stream in host p's row block, and the
+# per-host streams must partition the (truncated) dataset
+from pl_convlstm_gan_tpu.data.pipeline import make_grain_loader  # noqa: E402
+
+g_local = list(make_grain_loader(ds, GLOBAL_BATCH, shuffle=True, seed=5))
+g_global = [put_global_batch(b, sharding) for b in g_local]
+local_bs = GLOBAL_BATCH // nproc
+# every host can recompute any host's expected stream (grain is deterministic)
+exp_streams = [list(make_grain_loader(ds, GLOBAL_BATCH, shuffle=True, seed=5,
+                                      process_index=i, process_count=nproc))
+               for i in range(nproc)]
+assert len({len(s) for s in exp_streams}) == 1      # equal batch counts
+assert len(g_global) == len(exp_streams[0])
+for got, exp in zip(g_global, exp_streams[pid]):
+    for g_arr, e_arr in zip(got, exp):
+        assert g_arr.shape[0] == GLOBAL_BATCH
+        for shard in g_arr.addressable_shards:       # this host's rows
+            row0 = shard.index[0].start or 0
+            np.testing.assert_array_equal(
+                np.asarray(shard.data),
+                e_arr[row0 - pid * local_bs:
+                      row0 - pid * local_bs + shard.data.shape[0]])
+# host streams are disjoint and cover distinct dataset items: fingerprint by
+# the raw input bytes of each sequence
+fps = [frozenset(b[0][i].tobytes() for b in s for i in range(local_bs))
+       for s in exp_streams]
+for i in range(nproc):
+    for j in range(i + 1, nproc):
+        assert not (fps[i] & fps[j]), "grain host shards overlap"
+print(f"PROC {pid}: grain multi-process loader OK", flush=True)
 
 # --- 2. DP train step over the assembled batch ------------------------------
 model = ConvLSTMForecaster(hidden_dims=(8,), input_frames=2, output_frames=2)

@@ -134,3 +134,51 @@ def test_gradient_mixed_dtypes(rng):
     assert g[2].dtype == jnp.bfloat16 and g[3].dtype == jnp.bfloat16
     for a in g:
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def test_rollout_kernel_matches_forecaster():
+    """Multi-step VMEM-resident rollout kernel == ConvLSTMForecaster free
+    rollout (encode + autoregressive decode), interpret mode, f32 exactness."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+
+    rng = np.random.default_rng(0)
+    b, t_in, t_out, size, ch = 2, 3, 4, 8, 8
+    frames = jnp.asarray(rng.random((b, t_in, 1, size, size)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(ch, ch), input_frames=t_in,
+                               output_frames=t_out)
+    params = model.init(jax.random.PRNGKey(0), frames)
+    ref = model.apply(params, frames)
+    out = rollout_pallas(params, frames, t_out, compute_dtype=jnp.float32)
+    assert out.shape == ref.shape == (b, t_out, 1, size, size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rollout_kernel_odd_step_count():
+    """t_in + t_out - 1 odd exercises the unrolled trailing step."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+
+    rng = np.random.default_rng(1)
+    b, t_in, t_out, size, ch = 1, 2, 4, 8, 8    # steps = 5 (odd)
+    frames = jnp.asarray(rng.random((b, t_in, 1, size, size)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(ch, ch), input_frames=t_in,
+                               output_frames=t_out)
+    params = model.init(jax.random.PRNGKey(3), frames)
+    ref = model.apply(params, frames)
+    out = rollout_pallas(params, frames, t_out, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rollout_fits_gate():
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas_fits
+    # bench/serving shape family: supported
+    assert rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64), 3, 2)
+    # unequal widths / 3 layers / multi-channel input: fall back
+    assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 32), 3, 2)
+    assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64, 64), 3, 2)
+    assert not rollout_pallas_fits(5, 10, 4, 3, 128, 128, (64, 64), 3, 2)

@@ -62,3 +62,27 @@ def test_predictor_generator(tmp_path, rng):
     out = predict(rain, dem, lu)
     assert out.shape == (1, 3, 1, 16, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_predictor_pallas_rollout_selectable(tmp_path, rng):
+    """model.rollout_impl 'pallas' routes predict through the multi-step
+    VMEM-resident rollout kernel with outputs matching the XLA rollout
+    (interpret mode on CPU)."""
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 16,
+                 "synthetic_image_size": 8},
+        "model": {"family": "forecaster", "hidden_dims": [64, 64],
+                  "input_frames": 2, "output_frames": 2},
+        "training": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                     "use_split": False, "use_early_stopping": False},
+        "output": {"output_dir": str(tmp_path / "outp"), "log_interval": 100},
+    })
+    t = SequenceTrainer(config=cfg)
+    t.train()
+    ckpt = str(tmp_path / "outp" / "best_model")
+    frames = jnp.asarray(rng.random((1, 2, 1, 8, 8)).astype(np.float32))
+    ref = load_predictor(cfg, ckpt)(frames)
+    cfg.model.rollout_impl = "pallas"
+    out = load_predictor(cfg, ckpt)(frames)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

@@ -197,30 +197,136 @@ def test_put_global_batch_single_process_matches_device_put():
     assert out[0].sharding == ref.sharding
 
 
-def test_multiprocess_dp_end_to_end():
-    """REAL 2-process jax.distributed run (4 virtual CPU devices each = 8
-    global): per-host loader -> make_array_from_process_local_data -> shard_map
-    DP step -> host-aware eval, all verified inside tests/mp_dp_worker.py."""
+def _free_port():
     import socket
-    import subprocess
-    import sys
-
     with socket.socket() as s:
         s.bind(("localhost", 0))
-        port = s.getsockname()[1]
+        return s.getsockname()[1]
+
+
+def _mp_env():
     here = os.path.dirname(os.path.abspath(__file__))
-    worker = os.path.join(here, "mp_dp_worker.py")
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     env["PYTHONPATH"] = os.path.dirname(here)
-    procs = [subprocess.Popen([sys.executable, worker, str(i), "2", str(port)],
+    return env, here
+
+
+def _run_mp_workers(nproc: int, ndev: int, timeout: int = 420):
+    import subprocess
+    import sys
+
+    port = _free_port()
+    env, here = _mp_env()
+    worker = os.path.join(here, "mp_dp_worker.py")
+    procs = [subprocess.Popen([sys.executable, worker, str(i), str(nproc),
+                               str(port), str(ndev)],
                               stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                               text=True, env=env, cwd=os.path.dirname(here))
-             for i in range(2)]
+             for i in range(nproc)]
     outs = []
     for p in procs:
-        out, _ = p.communicate(timeout=420)
+        out, _ = p.communicate(timeout=timeout)
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert "ALL OK" in out
+
+
+def test_multiprocess_dp_end_to_end():
+    """REAL 2-process jax.distributed run (4 virtual CPU devices each = 8
+    global): per-host loader (plain AND grain) ->
+    make_array_from_process_local_data -> shard_map DP step -> host-aware
+    eval -> multi-host async checkpoint, all verified in mp_dp_worker.py."""
+    _run_mp_workers(2, 4)
+
+
+def test_multiprocess_dp_4x2():
+    """Same end-to-end story at a 4-process x 2-device topology (the v5e-16
+    4-host shape scaled down): process-count-dependent logic — interleaved
+    grain shards, per-host block arithmetic, promotion barriers — must not
+    be 2-host-specific."""
+    _run_mp_workers(4, 2, timeout=600)
+
+
+def test_multiprocess_kill_and_resume(tmp_path):
+    """Operational crash recovery under REAL multi-process: two trainer
+    processes (grain loader, periodic async 'latest' saves) are SIGTERM'd
+    mid-run, then relaunched through the actual CLI with --resume. The
+    relaunch must recover the newest complete checkpoint (promotion barriers,
+    pending-dir recovery with process-0 gating) and finish the run."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    import yaml
+
+    out_dir = str(tmp_path / "out")
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        yaml.dump({
+            "data": {"source": "synthetic", "synthetic_num_sequences": 32,
+                     "synthetic_image_size": 8, "loader": "grain"},
+            "model": {"family": "forecaster", "hidden_dims": [8],
+                      "input_frames": 2, "output_frames": 2},
+            "training": {"batch_size": 8, "epochs": 6,
+                         "learning_rate": 1e-3, "use_split": True,
+                         "use_early_stopping": False},
+            "output": {"output_dir": out_dir, "log_interval": 100,
+                       "save_model_interval": 1},
+        }, f)
+    env_base, here = _mp_env()
+    repo = os.path.dirname(here)
+
+    def launch(port, resume):
+        procs = []
+        for i in range(2):
+            env = dict(env_base, JAX_PLATFORMS="cpu",
+                       XLA_FLAGS="--xla_force_host_platform_device_count=4",
+                       COORDINATOR_ADDRESS=f"localhost:{port}",
+                       NUM_PROCESSES="2", PROCESS_ID=str(i))
+            cmd = [sys.executable, os.path.join(repo, "main.py"),
+                   "--config", cfg_path] + (["--resume"] if resume else [])
+            procs.append(subprocess.Popen(
+                cmd, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env, cwd=repo))
+        return procs
+
+    # phase 1: train, then kill BOTH processes once a periodic save exists
+    procs = launch(_free_port(), resume=False)
+    latest = os.path.join(out_dir, "latest")
+    deadline = time.time() + 420
+    have_ckpt = False
+    while time.time() < deadline:
+        complete = os.path.isdir(os.path.join(latest, "state"))
+        pending_complete = os.path.isdir(
+            os.path.join(latest + ".pending", "state"))
+        if complete or pending_complete:
+            have_ckpt = True
+            break
+        if all(p.poll() is not None for p in procs):
+            break   # finished before we could kill — still fine, resume below
+        time.sleep(1.0)
+    for p in procs:
+        if p.poll() is None:
+            p.send_signal(signal.SIGTERM)   # hard stop: no atexit promotion
+    outs = [p.communicate(timeout=60)[0] for p in procs]
+    assert have_ckpt, "no checkpoint appeared before timeout:\n" + outs[0]
+
+    # phase 2: relaunch with --resume; must recover and complete all 6 epochs
+    procs = launch(_free_port(), resume=True)
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume worker {i} failed:\n{out}"
+        assert "Resuming from" in out
+        assert "Restored checkpoint from" in out
+        assert "Training completed" in out
+    # process-0-owned artifacts: full history through the final epoch
+    import json
+    with open(os.path.join(out_dir, "history.json")) as f:
+        hist = json.load(f)
+    assert hist["epoch"][-1] == 5
+    metrics = [json.loads(l) for l in
+               open(os.path.join(out_dir, "metrics.jsonl"))]
+    assert metrics[-1]["epoch"] == 5
