@@ -119,11 +119,29 @@ def bench_jax(iters: int) -> dict:
         _ = float(out[0, 0, 0, 0, 0])
         itimes_sync.append(time.perf_counter() - t0)
 
+    # multi-step VMEM-resident Pallas rollout kernel (round 3): the serving
+    # path predict selects on TPU (model.rollout_impl auto)
+    pallas_rollout_p50 = None
+    try:
+        from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+            rollout_pallas, rollout_pallas_fits)
+        if jax.default_backend() == "tpu" and rollout_pallas_fits(
+                T_IN, T_OUT, BATCH, 1, SIZE, SIZE, HIDDEN, 3, 2):
+            pk = jax.jit(lambda p, x: rollout_pallas(p, x, T_OUT, jnp.bfloat16))
+            pres = benchmark_chained(lambda _: pk(state.params, inputs), None,
+                                     fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                                     chain=chain, iters=iters, warmup=1)
+            pallas_rollout_p50 = pres["p50"]
+    except Exception as e:  # the headline must survive a kernel regression
+        print(f"pallas rollout bench skipped: {e}", file=sys.stderr)
+
     res = {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
            "p50_step_sync_s": p50_sync,
            "p50_rollout_latency_s": ires["p50"],
            "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
            "loss": float(m["total"])}
+    if pallas_rollout_p50 is not None:
+        res["p50_rollout_latency_pallas_s"] = pallas_rollout_p50
     if roofline:
         res["modeled_tflops_per_s"] = roofline["flops"] / p50 / 1e12
         res["mfu"] = roofline["flops"] / p50 / (PEAK_BF16_TFLOPS * 1e12)
@@ -320,6 +338,9 @@ def main():
               "modeled_hbm_frac_of_roofline"):
         if k in jax_res:
             result[k] = round(jax_res[k], 3)
+    if "p50_rollout_latency_pallas_s" in jax_res:
+        result["p50_rollout_latency_pallas_s"] = round(
+            jax_res["p50_rollout_latency_pallas_s"], 4)
     for k, v in secondary.items():
         result[k] = round(v, 4)
     print(json.dumps(result))

@@ -65,11 +65,12 @@ class ModelConfig:
     lu_channels: int = 0           # 0 => resolved from dataset at setup_model time
     kernel_size: int = 3
     convlstm_impl: str = "auto"    # "auto" | "xla" | "pallas"
-    # inference-rollout kernel for predict/serve (sequence families):
-    # "xla" = the lax.scan rollout; "pallas" = the multi-step VMEM-resident
-    # rollout kernel (ops/pallas/rollout_kernel.py; 2 equal-width cells,
-    # 1-channel frames)
-    rollout_impl: str = "xla"
+    # inference-rollout kernel for predict (sequence families):
+    # "auto" = the multi-step VMEM-resident Pallas rollout kernel on TPU when
+    # the shape family fits (measured 28% faster than the scan at the bench
+    # shape — docs/design.md), else the lax.scan rollout; "xla"/"pallas"
+    # force one. Serving export always uses "xla" (portable StableHLO).
+    rollout_impl: str = "auto"
     remat: bool = False            # rematerialized scan body (O(1) memory in T)
     remat_policy: str = ""         # "" (full) | "save_z" | "dots" (selective)
     scan_unroll: int = 1           # lax.scan unroll (measured: 1 is fastest)

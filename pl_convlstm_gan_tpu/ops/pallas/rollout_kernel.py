@@ -65,6 +65,11 @@ def _pick_tile(h: int) -> int:
     return 1
 
 
+def _wp(wid: int) -> int:
+    """Padded scratch width: (W + 2) rounded up to the 16-sublane tile."""
+    return -((-(wid + 2)) // 16) * 16
+
+
 def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
                         hidden_dims, kernel_size: int, itemsize: int) -> bool:
     """Static dispatch check for the supported shape family + VMEM budget."""
@@ -103,8 +108,10 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
 
     def load_frame(t):
         # [H, W] (W on lanes) -> [H, W, 1] (W on sublanes): one relayout per
-        # encode step; t is a traced step index
-        return frames_ref[0, pl.ds(t, 1)].reshape(hgt, wid, 1)
+        # encode step; t is a traced step index. Mosaic supports the
+        # minor-dim-inserting reshape only for 32-bit vectors — route via f32.
+        fr = frames_ref[0, pl.ds(t, 1)].astype(jnp.float32)
+        return fr.reshape(hgt, wid, 1)
 
     def cell_pass(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_lane0,
                   also_ref=None, also_lane0=0):
@@ -149,12 +156,14 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                 acc = acc + jnp.dot(win.reshape(tile * wid, ch),
                                     wh_ref[tap],
                                     preferred_element_type=jnp.float32)
-            o3 = acc.astype(out_ref.dtype).reshape(tile, wid, 1)
-            x_dst_ref[r0 + 1:r0 + 1 + tile, 1:1 + wid, ch:ch + 1] = o3
+            # minor-dim reshapes must stay in f32 (Mosaic); cast at the writes
+            o3 = acc.reshape(tile, wid, 1)
+            x_dst_ref[r0 + 1:r0 + 1 + tile, 1:1 + wid, ch:ch + 1] = \
+                o3.astype(xh1_ref.dtype)
             # [tile, W, 1] -> [tile, W] (W back onto lanes) for the result;
             # t_o is a traced output-frame index
             out_ref[0, pl.ds(t_o, 1), r0:r0 + tile, :] = \
-                o3.reshape(1, tile, wid)
+                o3.reshape(1, tile, wid).astype(out_ref.dtype)
 
     def one_step(t, cur: int):
         """Step t: buffers read from slot ``cur``, write to ``1 - cur``.
@@ -216,8 +225,10 @@ def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
         out_specs=grid_block(t_out),
         out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, hgt + 2, wid + 2, lanes), dtype),   # xh1 ping-pong
-            pltpu.VMEM((2, hgt + 2, wid + 2, lanes), dtype),   # xh2 ping-pong
+            # padded width rounded up to the 16-sublane tile: the per-step
+            # .at[slot] sub-ref slice requires tiling-aligned sublane extents
+            pltpu.VMEM((2, hgt + 2, _wp(wid), lanes), dtype),  # xh1 ping-pong
+            pltpu.VMEM((2, hgt + 2, _wp(wid), lanes), dtype),  # xh2 ping-pong
             pltpu.VMEM((hgt, wid, lanes), dtype),              # c1|c2
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),

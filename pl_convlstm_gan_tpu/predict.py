@@ -69,10 +69,12 @@ def build_predict_fn(config: Config, checkpoint_path: str,
 
     if config.model.family in ("forecaster", "gan"):
         impl = rollout_impl or config.model.rollout_impl
-        if impl == "pallas":
+        if impl in ("pallas", "auto"):
             # multi-step VMEM-resident rollout kernel (whole autoregressive
-            # rollout in one kernel, state never leaves VMEM) — opt-in via
-            # model.rollout_impl; shape-family support checked at trace time
+            # rollout in one kernel, state never leaves VMEM — measured 28%
+            # faster than the scan at the bench shape, docs/design.md).
+            # "auto" falls back to the scan off-TPU or when the shape family
+            # is unsupported; "pallas" raises instead of silently falling back
             from .ops.pallas.rollout_kernel import (rollout_pallas,
                                                     rollout_pallas_fits)
             t_out = output_frames or config.model.output_frames
@@ -82,11 +84,14 @@ def build_predict_fn(config: Config, checkpoint_path: str,
 
             def fn(frames):
                 b, t_in, c, h, w = frames.shape
-                if not rollout_pallas_fits(
-                        t_in, t_out, b, c, h, w,
-                        tuple(config.model.hidden_dims),
-                        config.model.kernel_size,
-                        jnp.dtype(cdtype).itemsize):
+                fits = rollout_pallas_fits(
+                    t_in, t_out, b, c, h, w,
+                    tuple(config.model.hidden_dims),
+                    config.model.kernel_size, jnp.dtype(cdtype).itemsize)
+                if impl == "auto" and (jax.default_backend() != "tpu"
+                                       or not fits):
+                    return model.apply(params, frames)
+                if not fits:
                     raise ValueError(
                         "rollout_impl 'pallas' does not support this shape "
                         "family (needs 2 equal-width cells, 3x3 kernels, "
