@@ -66,8 +66,10 @@ def bench_jax(iters: int) -> dict:
     roofline = {}
     try:
         from pl_convlstm_gan_tpu.utils.profiling import compiled_cost
-        cost = compiled_cost(lambda st, b: step(st, b, lr, tf, key)[0],
-                             state, (inputs, targets))
+        # pass the jitted step itself: identical program -> the AOT lower
+        # shares the persistent-cache entry with the benchmarked step (a
+        # wrapper lambda would force a second full tunnel compile cold)
+        cost = compiled_cost(step, state, (inputs, targets), lr, tf, key)
         trips = T_IN + T_OUT - 1
         roofline = {"flops": cost["flops"] * trips,
                     "bytes": cost["bytes_accessed"] * trips}

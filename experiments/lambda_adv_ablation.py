@@ -52,13 +52,17 @@ def run_one(lambda_adv: float, epochs: int, out_root: str) -> dict:
     t0 = time.perf_counter()
     tr = SequenceTrainer(config=cfg)
     tr.train()
+    # capture BEFORE restore: restoring best_model overwrites tr.history with
+    # the best-epoch snapshot, which would silently relabel the value
+    d_final = tr.history["d_loss"][-1] if tr.history.get("d_loss") else None
     # evaluate the BEST checkpoint (not the last epoch) on the held-out split
     tr.restore(os.path.join(cfg.output.output_dir, "best_model"))
+    d_best = tr.history["d_loss"][-1] if tr.history.get("d_loss") else None
     test = tr.evaluate_test()
-    d_last = tr.history["d_loss"][-1] if tr.history.get("d_loss") else None
     return {"lambda_adv": lambda_adv, "epochs": epochs,
             "wall_s": round(time.perf_counter() - t0, 1),
-            "best_epoch": tr.best_epoch, "d_loss_final": d_last,
+            "best_epoch": tr.best_epoch, "d_loss_final": d_final,
+            "d_loss_at_best": d_best,
             **{f"test_{k}": v for k, v in test.items()}}
 
 
@@ -83,7 +87,7 @@ def main():
         json.dump(results, f, indent=1)
 
     cols = ["lambda_adv", "test_l1", "test_ssim", "test_sharp_hf_ratio",
-            "test_sharp_gm_ratio", "d_loss_final", "best_epoch"]
+            "test_sharp_gm_ratio", "d_loss_at_best", "best_epoch"]
     print("\n| " + " | ".join(cols) + " |")
     print("|" + "---|" * len(cols))
     for r in results:

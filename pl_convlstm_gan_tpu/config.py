@@ -239,6 +239,10 @@ class Config:
             raise ValueError(f"Unknown model family: {self.model.family}")
         if self.precision.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unknown compute dtype: {self.precision.compute_dtype}")
+        if self.model.rollout_impl not in ("auto", "xla", "pallas"):
+            raise ValueError(
+                f"Unknown rollout_impl: {self.model.rollout_impl!r} "
+                f"(valid: 'auto', 'xla', 'pallas')")
         if self.model.remat_policy not in ("", "save_z", "dots"):
             raise ValueError(
                 f"Unknown remat_policy: {self.model.remat_policy!r} "

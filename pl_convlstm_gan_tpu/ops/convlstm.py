@@ -115,6 +115,9 @@ def convlstm_step_tp(params: ConvLSTMParams, x: jnp.ndarray, h: jnp.ndarray,
     inside the scan body."""
     xh = jnp.concatenate([x, h], axis=-1)
     z = conv2d(xh, params.kernel, params.bias, padding="SAME")
+    # selective-remat anchor (same tag as the canonical cell): remat_policy
+    # "save_z" must keep working under tensor parallelism
+    z = checkpoint_name(z, "convlstm_z")
     if constrain is not None:
         z = constrain(z)
     h_next, c_next = convlstm_gates_tp(z, c, n_shards)

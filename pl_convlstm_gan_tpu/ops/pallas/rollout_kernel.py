@@ -48,14 +48,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..convlstm import convlstm_gates
+from .convlstm_kernel import _interpret
 
 # generous cap for the VMEM-resident state; v5e cores have far more VMEM than
 # the (8, 128)-tile minimum suggests, and Mosaic fails loudly if exceeded
 _VMEM_LIMIT = 110 * 1024 * 1024
-
-
-def _interpret() -> bool:
-    return jax.default_backend() != "tpu"
 
 
 def _pick_tile(h: int) -> int:
@@ -70,6 +67,30 @@ def _wp(wid: int) -> int:
     return -((-(wid + 2)) // 16) * 16
 
 
+def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize) -> int:
+    lanes = 2 * ch
+    wp = _wp(w)
+    tile = _pick_tile(h)
+    xh = 4 * nb * (h + 2) * wp * lanes * itemsize     # two ping-pong pairs
+    cb = nb * h * w * lanes * itemsize
+    acc = nb * tile * w * 4 * ch * 4
+    wts = 2 * 9 * lanes * 4 * ch * itemsize
+    io = nb * (t_in + 2 * t_out) * h * w * itemsize
+    return xh + cb + acc + wts + io
+
+
+def _pick_nb(t_in, t_out, b, h, w, ch, itemsize) -> int:
+    """Batch items per kernel invocation. MEASURED NEGATIVE (round 3): folding
+    nb=4 into the matmul M dim at the bench shape multiplies Mosaic's fully-
+    unrolled vector code by nb and the kernel compile went from ~2 min to
+    >35 min (killed) — while at equal vector-register footprint (smaller row
+    tile) batching saves zero ops. nb stays 1; the grid runs batch items
+    sequentially, which the measured 28.6% win already includes."""
+    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize) <= _VMEM_LIMIT:
+        return 1
+    return 0
+
+
 def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
                         hidden_dims, kernel_size: int, itemsize: int) -> bool:
     """Static dispatch check for the supported shape family + VMEM budget."""
@@ -80,25 +101,24 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
         return False
     if h % 8 or w % 8 or ch % 8:
         return False
-    lanes = 2 * ch
-    if lanes % 128:     # packed (h|x) / (h1|h2) lane layout must tile cleanly
+    if (2 * ch) % 128:  # packed (h|x) / (h1|h2) lane layout must tile cleanly
         return False
-    wp = -((-(w + 2)) // 16) * 16
-    tile = _pick_tile(h)
-    xh = 4 * (h + 2) * wp * lanes * itemsize          # two ping-pong pairs
-    cb = h * w * lanes * itemsize
-    acc = tile * w * 4 * ch * 4
-    wts = 2 * 9 * lanes * 4 * ch * itemsize
-    io = (t_in + 2 * t_out) * h * w * itemsize
-    return xh + cb + acc + wts + io <= _VMEM_LIMIT
+    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize) >= 1
 
 
 def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                   out_ref, xh1_ref, xh2_ref, cbuf_ref, *, t_in: int,
-                  t_out: int, ch: int, hgt: int, wid: int, tile: int):
+                  t_out: int, ch: int, hgt: int, wid: int, tile: int,
+                  nb: int):
+    """``nb`` batch items are processed TOGETHER: the batch folds into the
+    matmul M dimension (windows reshape [nb, tile, W, lanes] ->
+    [nb*tile*W, lanes]), so per-tile slice/gate overheads amortize over the
+    batch and the MXU sees larger contractions. Per-item halos stay correct
+    because padding borders are per item in the [nb, H+2, Wp, lanes] slabs."""
     lanes = 2 * ch
     n_tiles = hgt // tile
     steps = t_in + t_out - 1
+    m = nb * tile * wid
 
     # zero-init: borders stay zero forever (writes touch interiors only),
     # which IS the model's zero initial state + SAME-padding
@@ -107,11 +127,11 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
     cbuf_ref[...] = jnp.zeros_like(cbuf_ref)
 
     def load_frame(t):
-        # [H, W] (W on lanes) -> [H, W, 1] (W on sublanes): one relayout per
-        # encode step; t is a traced step index. Mosaic supports the
-        # minor-dim-inserting reshape only for 32-bit vectors — route via f32.
-        fr = frames_ref[0, pl.ds(t, 1)].astype(jnp.float32)
-        return fr.reshape(hgt, wid, 1)
+        # [nb, H, W] (W on lanes) -> [nb, H, W, 1] (W on sublanes): one
+        # relayout per encode step; t is a traced step index. Mosaic supports
+        # the minor-dim-inserting reshape only for 32-bit vectors — via f32.
+        fr = frames_ref[:, pl.ds(t, 1)].astype(jnp.float32)
+        return fr.reshape(nb, hgt, wid, 1)
 
     def cell_pass(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_lane0,
                   also_ref=None, also_lane0=0):
@@ -121,23 +141,23 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         for ti in range(n_tiles):
             r0 = ti * tile
             acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
-                                   (tile * wid, 4 * ch))
+                                   (m, 4 * ch))
             for tap in range(9):
                 di, dj = tap // 3, tap % 3
-                win = src_ref[r0 + di:r0 + di + tile, dj:dj + wid, :]
-                acc = acc + jnp.dot(win.reshape(tile * wid, lanes),
+                win = src_ref[:, r0 + di:r0 + di + tile, dj:dj + wid, :]
+                acc = acc + jnp.dot(win.reshape(m, lanes),
                                     w_ref[tap],
                                     preferred_element_type=jnp.float32)
-            z = acc.reshape(tile, wid, 4 * ch)
-            c_cur = cbuf_ref[r0:r0 + tile, :, c_lane0:c_lane0 + ch]
+            z = acc.reshape(nb, tile, wid, 4 * ch)
+            c_cur = cbuf_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch]
             h_new, c_new = convlstm_gates(z, c_cur.astype(jnp.float32))
             h_new = h_new.astype(xh1_ref.dtype)
-            cbuf_ref[r0:r0 + tile, :, c_lane0:c_lane0 + ch] = \
+            cbuf_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch] = \
                 c_new.astype(cbuf_ref.dtype)
-            dst_ref[r0 + 1:r0 + 1 + tile, 1:1 + wid,
+            dst_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid,
                     dst_lane0:dst_lane0 + ch] = h_new
             if also_ref is not None:
-                also_ref[r0 + 1:r0 + 1 + tile, 1:1 + wid,
+                also_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid,
                          also_lane0:also_lane0 + ch] = h_new
 
     def head_pass(src_ref, t, x_dst_ref):
@@ -147,23 +167,22 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         t_o = t - (t_in - 1)
         for ti in range(n_tiles):
             r0 = ti * tile
-            acc = jnp.broadcast_to(bh_ref[0].astype(jnp.float32),
-                                   (tile * wid, 1))
+            acc = jnp.broadcast_to(bh_ref[0].astype(jnp.float32), (m, 1))
             for tap in range(9):
                 di, dj = tap // 3, tap % 3
-                win = src_ref[r0 + di:r0 + di + tile, dj:dj + wid,
+                win = src_ref[:, r0 + di:r0 + di + tile, dj:dj + wid,
                               ch:ch + ch]
-                acc = acc + jnp.dot(win.reshape(tile * wid, ch),
+                acc = acc + jnp.dot(win.reshape(m, ch),
                                     wh_ref[tap],
                                     preferred_element_type=jnp.float32)
             # minor-dim reshapes must stay in f32 (Mosaic); cast at the writes
-            o3 = acc.reshape(tile, wid, 1)
-            x_dst_ref[r0 + 1:r0 + 1 + tile, 1:1 + wid, ch:ch + 1] = \
+            o3 = acc.reshape(nb, tile, wid, 1)
+            x_dst_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid, ch:ch + 1] = \
                 o3.astype(xh1_ref.dtype)
-            # [tile, W, 1] -> [tile, W] (W back onto lanes) for the result;
-            # t_o is a traced output-frame index
-            out_ref[0, pl.ds(t_o, 1), r0:r0 + tile, :] = \
-                o3.reshape(1, tile, wid).astype(out_ref.dtype)
+            # [nb, tile, W, 1] -> [nb, 1, tile, W] (W back onto lanes) for
+            # the result; t_o is a traced output-frame index
+            out_ref[:, pl.ds(t_o, 1), r0:r0 + tile, :] = \
+                o3.reshape(nb, 1, tile, wid).astype(out_ref.dtype)
 
     def one_step(t, cur: int):
         """Step t: buffers read from slot ``cur``, write to ``1 - cur``.
@@ -176,7 +195,7 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         @pl.when(t < t_in)
         def _():
             fr = load_frame(t).astype(xh1_ref.dtype)
-            src1[1:1 + hgt, 1:1 + wid, ch:ch + 1] = fr
+            src1[:, 1:1 + hgt, 1:1 + wid, ch:ch + 1] = fr
 
         # cell 1: h1_new -> next cell-1 buffer (lanes 0:ch) AND the CURRENT
         # cell-2 buffer (lanes 0:ch) — cell 2 consumes this step's h1
@@ -208,18 +227,21 @@ def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
     ch = w2p.shape[1] // 2
     dtype = frames.dtype
     tile = _pick_tile(hgt)
+    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize)
+    if nb < 1:
+        raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
 
     body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
-                             hgt=hgt, wid=wid, tile=tile)
+                             hgt=hgt, wid=wid, tile=tile, nb=nb)
     lanes = 2 * ch
-    grid_block = lambda n: pl.BlockSpec((1, n, hgt, wid),
+    grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
                                         lambda i: (i, 0, 0, 0),
                                         memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         body,
-        grid=(b,),
+        grid=(b // nb,),
         in_specs=[grid_block(t_in), full(), full(), full(), full(), full(),
                   full()],
         out_specs=grid_block(t_out),
@@ -227,9 +249,9 @@ def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
         scratch_shapes=[
             # padded width rounded up to the 16-sublane tile: the per-step
             # .at[slot] sub-ref slice requires tiling-aligned sublane extents
-            pltpu.VMEM((2, hgt + 2, _wp(wid), lanes), dtype),  # xh1 ping-pong
-            pltpu.VMEM((2, hgt + 2, _wp(wid), lanes), dtype),  # xh2 ping-pong
-            pltpu.VMEM((hgt, wid, lanes), dtype),              # c1|c2
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
+            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret(),

@@ -301,3 +301,16 @@ def test_tp_config_validation():
                             "mesh": {"model_axis": 2}})
     with pytest.raises(ValueError, match="xla"):
         cfg.validate()
+
+
+def test_tp_cell_tags_save_z_anchor(rng):
+    """The TP cell must carry the same 'convlstm_z' checkpoint_name tag as the
+    canonical cell, or remat_policy 'save_z' under tensor parallelism would
+    silently degrade to full recompute."""
+    params = _cell_params(rng, 1, 8)
+    x = jnp.zeros((1, 8, 8, 1))
+    h = c = jnp.zeros((1, 8, 8, 8))
+    jaxpr = str(jax.make_jaxpr(
+        lambda p, x_, h_, c_: convlstm_step_tp(shard_cell_params(p, 2),
+                                               x_, h_, c_, 2))(params, x, h, c))
+    assert "convlstm_z" in jaxpr
