@@ -32,6 +32,8 @@ _LAZY = {
                         "SequenceTrainer"),
     "load_predictor": ("pl_convlstm_gan_tpu.predict", "load_predictor"),
     "build_model": ("pl_convlstm_gan_tpu.predict", "build_model"),
+    "StreamingForecaster": ("pl_convlstm_gan_tpu.streaming",
+                            "StreamingForecaster"),
 }
 
 

@@ -1,0 +1,166 @@
+"""Streaming (stateful) inference for the sequence families.
+
+The batch predict path (``predict.load_predictor``) re-runs the full
+``input_frames`` encode for every forecast. An operational nowcasting service
+sees a different access pattern: ONE new observation arrives per time step,
+and forecasts of any horizon branch from the current assimilated state.
+``StreamingForecaster`` serves that pattern directly — the stacked ConvLSTM
+``(h, c)`` state lives in a device-resident pytree carried across jitted
+calls, so assimilating a new frame costs one recurrence step instead of
+``input_frames``, and a horizon-``n`` forecast is a pure function of the
+current state (branching never corrupts the assimilation stream).
+
+The reference has no inference entry point at all (zero ``torch.load`` calls,
+SURVEY.md §0/§5) — this module, like ``predict``/``serve``, is deployment
+surface the TPU build adds. TPU-first notes: state stays on device between
+calls (only frames cross the host boundary), the per-horizon forecast scan is
+one compiled ``lax.scan`` program cached per ``horizon``, and compute runs in
+the config's precision policy (bf16 state/compute under ``bfloat16``).
+
+Parity contract (pinned in ``tests/test_streaming.py``): observing the
+training window and forecasting ``T_out - 1`` more steps reproduces the batch
+``ConvLSTMForecaster`` rollout exactly::
+
+    state = sf.init_state(B, H, W)
+    state, nowcast = sf.observe_window(state, frames)     # frames [B,T_in,C,H,W]
+    rest = sf.forecast(state, t_out - 1)
+    rollout = jnp.concatenate([nowcast[:, None], rest], axis=1)
+    # rollout == ConvLSTMForecaster(...).apply(params, frames)
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config
+from .models.forecaster import _StackedStepCore
+
+
+class StreamState(NamedTuple):
+    """Device-resident recurrent state (an opaque pytree to callers).
+
+    ``cells``: per-layer ``(h, c)`` pairs, each ``[B, H, W, features]`` NHWC.
+    ``prev_out``: the model's latest emitted frame ``[B, H, W, C]`` — the
+    autoregressive input for the next decode step."""
+    cells: Tuple[Tuple[jnp.ndarray, jnp.ndarray], ...]
+    prev_out: jnp.ndarray
+
+
+def _to_nhwc_seq(frames):
+    """[B, T, C, H, W] -> time-major [T, B, H, W, C]."""
+    return jnp.transpose(frames, (1, 0, 3, 4, 2))
+
+
+class StreamingForecaster:
+    """Stateful online inference over a forecaster/GAN-generator checkpoint.
+
+    Construct from in-memory variables (``StreamingForecaster(config, vars)``)
+    or a checkpoint (``StreamingForecaster.from_checkpoint(config, path)``).
+    All methods are pure: they return new states and never mutate inputs, so
+    a caller may hold multiple branches of the same stream.
+    """
+
+    def __init__(self, config: Config, variables):
+        mc = config.model
+        if mc.family not in ("forecaster", "gan"):
+            raise ValueError(
+                f"streaming inference needs a sequence family "
+                f"(forecaster/gan), got {mc.family!r}")
+        self._hidden = tuple(mc.hidden_dims)
+        self._channels = mc.in_channels
+        self._cdtype = (jnp.bfloat16
+                        if config.precision.compute_dtype == "bfloat16"
+                        else jnp.float32)
+        # the scan body module of ConvLSTMForecaster: nn.scan broadcasts
+        # params, so checkpoint params under "core" apply to the bare step
+        # module unchanged (same names: cell_<i>, head)
+        self._core = _StackedStepCore(
+            hidden_dims=self._hidden, out_channels=mc.in_channels,
+            kernel_size=mc.kernel_size,
+            impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
+            dtype=self._cdtype, param_dtype=jnp.float32)
+        self._vars = {"params": variables["params"]["core"]}
+        # params enter as a jit ARGUMENT (not a closure constant) so weights
+        # are device buffers, not constants baked into the executable
+        self._jit_observe = jax.jit(self._observe_seq)
+        self._jit_forecast = jax.jit(self._forecast_scan,
+                                     static_argnames="horizon")
+
+    @classmethod
+    def from_checkpoint(cls, config: Config, checkpoint_path: str
+                        ) -> "StreamingForecaster":
+        from .train.checkpoint import restore_checkpoint
+        device_state, _ = restore_checkpoint(checkpoint_path)
+        params = device_state.get("params", device_state.get("gen_params"))
+        if params is None:
+            raise ValueError(
+                f"No params/gen_params in checkpoint {checkpoint_path}")
+        return cls(config, params)
+
+    # -- state -----------------------------------------------------------
+    def init_state(self, batch_size: int, height: int, width: int
+                   ) -> StreamState:
+        """Fresh zero state (matches the batch model's zero-init carry)."""
+        zeros = lambda f: jnp.zeros((batch_size, height, width, f),
+                                    self._cdtype)
+        cells = tuple((zeros(f), zeros(f)) for f in self._hidden)
+        return StreamState(cells, zeros(self._channels))
+
+    # -- jitted bodies ----------------------------------------------------
+    def _step(self, core_vars, carry, frame_nhwc, use_frame: bool):
+        b = frame_nhwc.shape[0]
+        flags = jnp.full((b,), use_frame, bool)
+        no_teacher = jnp.zeros((b,), bool)
+        (cells, prev), out = self._core.apply(
+            core_vars, carry,
+            (frame_nhwc, flags, jnp.zeros_like(frame_nhwc), no_teacher))
+        return (cells, prev), out
+
+    def _observe_seq(self, core_vars, state: StreamState, frames_tbhwc):
+        def body(carry, frame):
+            carry, _ = self._step(core_vars, carry, frame, True)
+            return carry, None
+
+        carry, _ = jax.lax.scan(body, (state.cells, state.prev_out),
+                                frames_tbhwc)
+        cells, prev = carry
+        nowcast = jnp.transpose(prev, (0, 3, 1, 2)).astype(jnp.float32)
+        return StreamState(cells, prev), nowcast
+
+    def _forecast_scan(self, core_vars, state: StreamState, horizon: int):
+        dummy = jnp.zeros_like(state.prev_out)
+
+        def body(carry, _):
+            carry, out = self._step(core_vars, carry, dummy, False)
+            return carry, out
+
+        _, outs = jax.lax.scan(body, (state.cells, state.prev_out),
+                               None, length=horizon)
+        return jnp.transpose(outs, (1, 0, 4, 2, 3)).astype(jnp.float32)
+
+    # -- public API --------------------------------------------------------
+    def observe_window(self, state: StreamState, frames
+                       ) -> Tuple[StreamState, jnp.ndarray]:
+        """Assimilate ``frames [B, T, C, H, W]``; returns ``(new_state,
+        nowcast [B, C, H, W])`` — the 1-step-ahead prediction issued from the
+        last observed frame (the batch rollout's first output frame)."""
+        seq = _to_nhwc_seq(jnp.asarray(frames)).astype(self._cdtype)
+        return self._jit_observe(self._vars, state, seq)
+
+    def observe(self, state: StreamState, frame
+                ) -> Tuple[StreamState, jnp.ndarray]:
+        """Assimilate one frame ``[B, C, H, W]``; returns ``(new_state,
+        nowcast [B, C, H, W])``."""
+        return self.observe_window(state, jnp.asarray(frame)[:, None])
+
+    def forecast(self, state: StreamState, horizon: int) -> jnp.ndarray:
+        """Free-running rollout of ``horizon`` frames ``[B, horizon, C, H, W]``
+        beyond the state's nowcast, without touching ``state`` (pure branch).
+        The full ``T_out``-frame batch rollout is ``nowcast`` from the last
+        observe plus ``forecast(state, T_out - 1)``. Compiles once per
+        distinct ``horizon``."""
+        if horizon < 1:
+            raise ValueError(f"horizon must be >= 1, got {horizon}")
+        return self._jit_forecast(self._vars, state, horizon=horizon)
