@@ -67,7 +67,7 @@ def _wp(wid: int) -> int:
     return -((-(wid + 2)) // 16) * 16
 
 
-def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize) -> int:
+def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False) -> int:
     lanes = 2 * ch
     wp = _wp(w)
     tile = _pick_tile(h)
@@ -76,23 +76,26 @@ def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize) -> int:
     acc = nb * tile * w * 4 * ch * 4
     wts = 2 * 9 * lanes * 4 * ch * itemsize
     io = nb * (t_in + 2 * t_out) * h * w * itemsize
+    if warm:  # the packed (h0, c0) seed inputs also live in VMEM
+        io += 2 * nb * h * w * lanes * itemsize
     return xh + cb + acc + wts + io
 
 
-def _pick_nb(t_in, t_out, b, h, w, ch, itemsize) -> int:
+def _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm=False) -> int:
     """Batch items per kernel invocation. MEASURED NEGATIVE (round 3): folding
     nb=4 into the matmul M dim at the bench shape multiplies Mosaic's fully-
     unrolled vector code by nb and the kernel compile went from ~2 min to
     >35 min (killed) — while at equal vector-register footprint (smaller row
     tile) batching saves zero ops. nb stays 1; the grid runs batch items
     sequentially, which the measured 28.6% win already includes."""
-    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize) <= _VMEM_LIMIT:
+    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm) <= _VMEM_LIMIT:
         return 1
     return 0
 
 
 def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
-                        hidden_dims, kernel_size: int, itemsize: int) -> bool:
+                        hidden_dims, kernel_size: int, itemsize: int,
+                        warm: bool = False) -> bool:
     """Static dispatch check for the supported shape family + VMEM budget."""
     if len(hidden_dims) != 2 or hidden_dims[0] != hidden_dims[1]:
         return False
@@ -103,13 +106,13 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
         return False
     if (2 * ch) % 128:  # packed (h|x) / (h1|h2) lane layout must tile cleanly
         return False
-    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize) >= 1
+    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm) >= 1
 
 
 def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                   out_ref, xh1_ref, xh2_ref, cbuf_ref, *, t_in: int,
                   t_out: int, ch: int, hgt: int, wid: int, tile: int,
-                  nb: int):
+                  nb: int, h0_ref=None, c0_ref=None):
     """``nb`` batch items are processed TOGETHER: the batch folds into the
     matmul M dimension (windows reshape [nb, tile, W, lanes] ->
     [nb*tile*W, lanes]), so per-tile slice/gate overheads amortize over the
@@ -121,10 +124,19 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
     m = nb * tile * wid
 
     # zero-init: borders stay zero forever (writes touch interiors only),
-    # which IS the model's zero initial state + SAME-padding
+    # which IS the model's zero initial state + SAME-padding. A warm start
+    # (streaming forecast branch) seeds the step-0 read slots instead: h1
+    # into cell-1's h lanes, h2 into cell-2's previous-step lanes, c1|c2
+    # into the packed cell-state buffer — cell 2's h1 lanes are written
+    # in-step by cell 1's pass, so they need no seeding.
     xh1_ref[...] = jnp.zeros_like(xh1_ref)
     xh2_ref[...] = jnp.zeros_like(xh2_ref)
-    cbuf_ref[...] = jnp.zeros_like(cbuf_ref)
+    if h0_ref is None:
+        cbuf_ref[...] = jnp.zeros_like(cbuf_ref)
+    else:
+        cbuf_ref[...] = c0_ref[...]
+        xh1_ref[0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_ref[..., 0:ch]
+        xh2_ref[0, :, 1:1 + hgt, 1:1 + wid, ch:2 * ch] = h0_ref[..., ch:2 * ch]
 
     def load_frame(t):
         # [nb, H, W] (W on lanes) -> [nb, H, W, 1] (W on sublanes): one
@@ -259,6 +271,61 @@ def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
     return out
 
 
+def _rollout_body_warm(frames_ref, h0_ref, c0_ref, w1_ref, b1_ref, w2_ref,
+                       b2_ref, wh_ref, bh_ref, out_ref, xh1_ref, xh2_ref,
+                       cbuf_ref, **kw):
+    """Positional-ref adapter: pallas_call passes input refs in in_specs
+    order, so the warm variant's extra (h0, c0) inputs land here and are
+    forwarded to the shared body as keywords."""
+    _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
+                  out_ref, xh1_ref, xh2_ref, cbuf_ref,
+                  h0_ref=h0_ref, c0_ref=c0_ref, **kw)
+
+
+@functools.partial(jax.jit, static_argnames=("t_out",))
+def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int):
+    """Decode-only rollout from a warm recurrent state.
+
+    frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
+    frame); h0/c0: [B, H, W, 2*ch] packed (cell1 | cell2) hidden/cell state.
+    Runs t_in=1 so step 0 consumes the seed frame against the warm state and
+    the head emits from step 0 — exactly horizon=t_out free-running steps."""
+    b, t_in, hgt, wid = frames.shape
+    ch = w2p.shape[1] // 2
+    dtype = frames.dtype
+    tile = _pick_tile(hgt)
+    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize)
+    if nb < 1:
+        raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
+
+    body = functools.partial(_rollout_body_warm, t_in=t_in, t_out=t_out,
+                             ch=ch, hgt=hgt, wid=wid, tile=tile, nb=nb)
+    lanes = 2 * ch
+    grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
+                                        lambda i: (i, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    state_block = pl.BlockSpec((nb, hgt, wid, lanes), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        body,
+        grid=(b // nb,),
+        in_specs=[grid_block(t_in), state_block, state_block, full(), full(),
+                  full(), full(), full(), full()],
+        out_specs=grid_block(t_out),
+        out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
+            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(frames, h0, c0, w1p, b1, w2p, b2, whp, bh)
+    return out
+
+
 def _pack_weights(cell1, cell2, head_kernel, head_bias, ch: int, dtype):
     """Repack canonical forecaster params for the kernel's lane layout.
 
@@ -298,3 +365,34 @@ def rollout_pallas(params, frames, t_out: int,
     fr = frames[:, :, 0].astype(compute_dtype)          # [B, T_in, H, W]
     out = _run_rollout(*packed, fr, t_out)
     return out[:, :, None].astype(jnp.float32)          # [B, t_out, 1, H, W]
+
+
+def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
+                              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Free-running rollout branched from a WARM recurrent state.
+
+    The streaming counterpart of ``rollout_pallas``: instead of encoding an
+    input window from zeros, the kernel's VMEM state buffers are seeded from
+    the carried stream state and every step is a decode step.
+
+    ``params``: ConvLSTMForecaster pytree (2 equal-width cells + head);
+    ``cells``: ``((h1, c1), (h2, c2))`` NHWC ``[B, H, W, ch]`` each;
+    ``prev_out``: ``[B, H, W, C]`` — the stream's last emitted frame (the
+    autoregressive input for the first step). Returns ``[B, horizon, 1, H, W]``
+    float32 — same contract as ``StreamingForecaster._forecast_scan``
+    (streaming.py), parity pinned in tests/test_pallas.py."""
+    from ..convlstm import ConvLSTMParams
+
+    core = params["params"]["core"]
+    cell1 = ConvLSTMParams(core["cell_0"]["kernel"], core["cell_0"]["bias"])
+    cell2 = ConvLSTMParams(core["cell_1"]["kernel"], core["cell_1"]["bias"])
+    ch = cell1.kernel.shape[-1] // 4
+    assert prev_out.shape[-1] == 1, "rollout kernel supports 1-channel frames"
+
+    packed = _pack_weights(cell1, cell2, core["head"]["kernel"],
+                           core["head"]["bias"], ch, compute_dtype)
+    h0 = jnp.concatenate([cells[0][0], cells[1][0]], -1).astype(compute_dtype)
+    c0 = jnp.concatenate([cells[0][1], cells[1][1]], -1).astype(compute_dtype)
+    fr = jnp.transpose(prev_out, (0, 3, 1, 2)).astype(compute_dtype)
+    out = _run_rollout_warm(*packed, fr, h0, c0, horizon)
+    return out[:, :, None].astype(jnp.float32)          # [B, horizon, 1, H, W]

@@ -82,6 +82,8 @@ class StreamingForecaster:
             impl="xla" if mc.convlstm_impl == "auto" else mc.convlstm_impl,
             dtype=self._cdtype, param_dtype=jnp.float32)
         self._vars = {"params": variables["params"]["core"]}
+        self._kernel_size = mc.kernel_size
+        self._rollout_impl = mc.rollout_impl
         # params enter as a jit ARGUMENT (not a closure constant) so weights
         # are device buffers, not constants baked into the executable
         self._jit_observe = jax.jit(self._observe_seq)
@@ -160,7 +162,29 @@ class StreamingForecaster:
         beyond the state's nowcast, without touching ``state`` (pure branch).
         The full ``T_out``-frame batch rollout is ``nowcast`` from the last
         observe plus ``forecast(state, T_out - 1)``. Compiles once per
-        distinct ``horizon``."""
+        distinct ``horizon``. On TPU, supported shape families
+        (``model.rollout_impl`` auto/pallas) run the warm-start VMEM-resident
+        Pallas rollout kernel — the multi-step decode stays entirely on-core
+        (ops/pallas/rollout_kernel.py)."""
         if horizon < 1:
             raise ValueError(f"horizon must be >= 1, got {horizon}")
+        if self._rollout_impl in ("pallas", "auto"):
+            from .ops.pallas.rollout_kernel import (rollout_pallas_fits,
+                                                    rollout_pallas_from_state)
+            b, h, w, _ = state.prev_out.shape
+            fits = rollout_pallas_fits(
+                1, horizon, b, self._channels, h, w, self._hidden,
+                self._kernel_size, jnp.dtype(self._cdtype).itemsize,
+                warm=True)
+            if self._rollout_impl == "pallas" and not fits:
+                raise ValueError(
+                    "rollout_impl 'pallas' does not support this shape family "
+                    "(needs 2 equal-width cells, 3x3 kernels, 1-channel "
+                    "frames, lanes tiling) — use 'xla'")
+            if fits and (jax.default_backend() == "tpu"
+                         or self._rollout_impl == "pallas"):
+                full_vars = {"params": {"core": self._vars["params"]}}
+                return rollout_pallas_from_state(
+                    full_vars, state.cells, state.prev_out, horizon,
+                    self._cdtype)
         return self._jit_forecast(self._vars, state, horizon=horizon)

@@ -174,10 +174,51 @@ def test_rollout_kernel_odd_step_count():
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("horizon", [3, 4])   # odd/even trailing-step paths
+def test_rollout_kernel_warm_start_matches_streaming_scan(horizon):
+    """Warm-start kernel (state seeded from a live stream) == the streaming
+    XLA forecast scan branched from the same state, interpret mode, f32."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+        rollout_pallas_from_state)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic"},
+        "model": {"family": "forecaster", "hidden_dims": [8, 8],
+                  "input_frames": 3, "output_frames": 4,
+                  "rollout_impl": "xla"},
+        "training": {"batch_size": 8, "epochs": 1},
+        "output": {"output_dir": "/tmp/unused_warm_rollout"},
+    })
+    rng = np.random.default_rng(7)
+    b, hw = 2, 8
+    frames = jnp.asarray(rng.random((b, 3, 1, hw, hw)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(8, 8), input_frames=3,
+                               output_frames=4)
+    variables = model.init(jax.random.PRNGKey(5), frames)
+
+    sf = StreamingForecaster(cfg, variables)
+    state = sf.init_state(b, hw, hw)
+    state, _ = sf.observe_window(state, frames)     # warm, non-trivial state
+    ref = sf.forecast(state, horizon)               # XLA scan branch
+
+    out = rollout_pallas_from_state(variables, state.cells, state.prev_out,
+                                    horizon, compute_dtype=jnp.float32)
+    assert out.shape == ref.shape == (b, horizon, 1, hw, hw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_rollout_fits_gate():
     from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas_fits
     # bench/serving shape family: supported
     assert rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64), 3, 2)
+    # warm (streaming) variant at the serving shape: supported
+    assert rollout_pallas_fits(1, 30, 4, 1, 128, 128, (64, 64), 3, 2,
+                               warm=True)
     # unequal widths / 3 layers / multi-channel input: fall back
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 32), 3, 2)
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64, 64), 3, 2)

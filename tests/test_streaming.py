@@ -131,6 +131,18 @@ def test_streaming_from_checkpoint(tmp_path, rng):
                                atol=1e-5)
 
 
+def test_streaming_forced_pallas_rejects_unsupported_shape(rng):
+    """rollout_impl 'pallas' must fail loudly (not silently fall back) when
+    the stream's shape family is outside the kernel's scope."""
+    cfg = _tiny_cfg(rollout_impl="pallas")      # hidden 8ch: lanes don't tile
+    _, variables, frames = _init_pair(cfg, rng)
+    sf = StreamingForecaster(cfg, variables)
+    state = sf.init_state(frames.shape[0], frames.shape[3], frames.shape[4])
+    state, _ = sf.observe_window(state, frames)
+    with pytest.raises(ValueError, match="shape family"):
+        sf.forecast(state, 3)
+
+
 def test_streaming_rejects_generator_family():
     cfg = _tiny_cfg(family="generator", T=3, scale_factor=2)
     with pytest.raises(ValueError, match="sequence family"):
