@@ -219,6 +219,45 @@ def bench_secondary(iters: int) -> dict:
         iters=max(3, iters // 2))
     out["gan256_step_s"] = res["p50"]
     out["gan256_frames_per_sec"] = 30 / res["p50"]
+
+    # --- streaming serving branch (round 3): horizon-30 forecast from a warm
+    # stream state at B1, XLA scan vs the warm-start VMEM-resident kernel
+    try:
+        from pl_convlstm_gan_tpu.config import Config
+        from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+            rollout_pallas_fits, rollout_pallas_from_state)
+        from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+        scfg = Config.from_dict({
+            "data": {"source": "synthetic"},
+            "model": {"family": "forecaster", "hidden_dims": [64, 64],
+                      "input_frames": 5, "output_frames": 10},
+            "training": {"batch_size": 8, "epochs": 1},
+            "precision": {"compute_dtype": "bfloat16"},
+            "output": {"output_dir": "/tmp/unused_bench_stream"},
+        })
+        sfr = jnp.asarray(rng.random((1, 5, 1, 128, 128)).astype(np.float32))
+        smodel = ConvLSTMForecaster(hidden_dims=(64, 64), input_frames=5,
+                                    output_frames=10, dtype=jnp.bfloat16)
+        svars = smodel.init(jax.random.PRNGKey(3), sfr)
+        sf = StreamingForecaster(scfg, svars)
+        warm, _ = sf.observe_window(sf.init_state(1, 128, 128), sfr)
+        res = benchmark_chained(
+            lambda _: sf._jit_forecast(sf._vars, warm, horizon=30), None,
+            fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10, iters=iters)
+        out["stream_forecast30_p50_s"] = res["p50"]
+        if jax.default_backend() == "tpu" and rollout_pallas_fits(
+                1, 30, 1, 1, 128, 128, (64, 64), 3, 2, warm=True):
+            full_vars = {"params": {"core": sf._vars["params"]}}
+            pk = jax.jit(lambda c, p: rollout_pallas_from_state(
+                full_vars, c, p, 30, jnp.bfloat16))
+            res = benchmark_chained(
+                lambda _: pk(warm.cells, warm.prev_out), None,
+                fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10,
+                iters=iters)
+            out["stream_forecast30_pallas_p50_s"] = res["p50"]
+    except Exception as e:  # the headline must survive a streaming regression
+        print(f"streaming bench skipped: {e}", file=sys.stderr)
     return out
 
 

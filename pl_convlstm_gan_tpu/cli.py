@@ -23,13 +23,16 @@ def main():
                         help="Configuration name (configs/<name>.yaml) or a "
                              "direct path to a .yaml file")
     parser.add_argument("--mode",
-                        choices=("train", "eval", "predict", "export"),
+                        choices=("train", "eval", "predict", "export",
+                                 "export-stream"),
                         default="train",
                         help="train; eval: restore a checkpoint and report "
                              "test-split metrics; predict: restore and write "
                              "model outputs for an input .npy; export: AOT "
                              "serving artifact (StableHLO, batch-polymorphic, "
-                             "TPU+CPU) from a checkpoint "
+                             "TPU+CPU) from a checkpoint; export-stream: the "
+                             "stateful streaming-inference surface (observe + "
+                             "forecast programs) as one artifact "
                              "(entries the reference lacks)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="checkpoint dir for --mode eval/predict "
@@ -163,6 +166,32 @@ def main():
             f.write(blob)
         print(f"Exported serving artifact ({len(blob)} bytes, "
               f"batch-polymorphic, tpu+cpu) to {out_path}")
+    elif args.mode == "export-stream":
+        import numpy as np
+        from pl_convlstm_gan_tpu.serve import export_streaming
+        if config.model.family not in ("forecaster", "gan"):
+            raise SystemExit("streaming export needs a sequence family "
+                             "(forecaster/gan)")
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "stream.jaxexport")
+        if args.input:  # sample fixes the static H/W
+            data = np.load(args.input)
+            frames = (data["frames"]
+                      if isinstance(data, np.lib.npyio.NpzFile) else data)
+            hgt, wid = frames.shape[-2:]
+        else:
+            ds = make_trainer().setup_data()
+            hgt, wid = np.asarray(ds[0][0]).shape[-2:]
+        horizons = (args.output_frames or config.model.output_frames,)
+        blob = export_streaming(config, ckpt, int(hgt), int(wid),
+                                horizons=horizons)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+        print(f"Exported streaming artifact ({len(blob)} bytes, observe + "
+              f"forecast{list(horizons)}, batch-polymorphic, tpu+cpu) "
+              f"to {out_path}")
     else:
         make_trainer().train()
 

@@ -82,3 +82,124 @@ def load_exported(blob: bytes) -> Callable:
     checkpoint access happens at serving time."""
     exported = _jax_export.deserialize(blob)
     return jax.jit(exported.call)
+
+
+# ---------------------------------------------------------------------------
+# Streaming serving artifacts: the stateful online-inference surface
+# (streaming.StreamingForecaster) as one self-contained multi-entry blob —
+# an `observe` program (assimilate one frame) plus one `forecast` program per
+# exported horizon, with the state geometry in a JSON header so the serving
+# process can zero-init streams without model code.
+# ---------------------------------------------------------------------------
+
+_STREAM_MAGIC = b"PLCGSTR1"
+
+
+def export_streaming(config: Config, checkpoint_path: str, height: int,
+                     width: int, horizons: Sequence[int] = (10,),
+                     batch_polymorphic: bool = True, batch_size: int = 1,
+                     platforms: Optional[Sequence[str]] = None) -> bytes:
+    """AOT-export the streaming inference surface for a checkpoint.
+
+    The artifact contains `observe` (one-frame assimilation: ``(state,
+    frame [B,C,H,W]) -> (state, nowcast)``) and a ``forecast`` program per
+    horizon in `horizons` (``state -> [B, h, C, H, W]``; horizons are static
+    loop lengths, so each needs its own lowering). H/W are static; the batch
+    (number of concurrently-served streams) is symbolic unless
+    `batch_polymorphic=False` pins it to `batch_size`. Forecast programs use
+    the portable XLA rollout (the warm-start Pallas kernel is a TPU-only
+    Mosaic custom call — in-process `StreamingForecaster.forecast` selects
+    that; the exported artifact favors TPU+CPU portability)."""
+    import json
+    import struct
+
+    from .streaming import StreamingForecaster
+
+    sf = StreamingForecaster.from_checkpoint(config, checkpoint_path)
+    meta = sf.export_meta()
+    state_tpl = jax.eval_shape(lambda: sf.init_state(batch_size, height,
+                                                     width))
+    if batch_polymorphic:
+        (b,) = _jax_export.symbolic_shape("b")
+    else:
+        b = batch_size
+    resize = lambda a: jax.ShapeDtypeStruct((b,) + a.shape[1:], a.dtype)
+    state_spec = (tuple(tuple(resize(x) for x in pair)
+                        for pair in state_tpl.cells),
+                  resize(state_tpl.prev_out))
+    frame_spec = jax.ShapeDtypeStruct((b, meta["channels"], height, width),
+                                      np.float32)
+
+    plats = tuple(platforms or DEFAULT_PLATFORMS)
+    entries = [("observe", _jax_export.export(
+        jax.jit(sf.export_observe_fn()), platforms=plats)(
+            state_spec, frame_spec).serialize())]
+    for h in horizons:
+        entries.append((f"forecast_{int(h)}", _jax_export.export(
+            jax.jit(sf.export_forecast_fn(int(h))), platforms=plats)(
+                state_spec).serialize()))
+
+    header = json.dumps({
+        "format": 1, "height": height, "width": width,
+        "horizons": [int(h) for h in horizons],
+        "batch_polymorphic": bool(batch_polymorphic),
+        "entries": [[name, len(data)] for name, data in entries], **meta,
+    }).encode()
+    return b"".join([_STREAM_MAGIC, struct.pack("<I", len(header)), header]
+                    + [bytes(data) for _, data in entries])
+
+
+class StreamingServer:
+    """Deserialized streaming artifact: zero-init streams, assimilate frames,
+    branch forecasts — no model code, config, or checkpoint needed."""
+
+    def __init__(self, meta: dict, observe_fn: Callable,
+                 forecast_fns: dict):
+        self._meta = meta
+        self._observe = observe_fn
+        self._forecasts = forecast_fns
+
+    @property
+    def horizons(self) -> Tuple[int, ...]:
+        return tuple(sorted(self._forecasts))
+
+    def init_state(self, batch_size: int):
+        """Fresh zero stream state for `batch_size` concurrent streams."""
+        import jax.numpy as jnp
+        m = self._meta
+        dt = jnp.bfloat16 if m["dtype"] == "bfloat16" else jnp.float32
+        z = lambda f: jnp.zeros((batch_size, m["height"], m["width"], f), dt)
+        return (tuple((z(f), z(f)) for f in m["hidden"]), z(m["channels"]))
+
+    def observe(self, state, frame):
+        """Assimilate ``frame [B, C, H, W]`` -> ``(new_state, nowcast)``."""
+        return self._observe(state, frame)
+
+    def forecast(self, state, horizon: int):
+        """Branch a ``horizon``-frame forecast (must be an exported one)."""
+        if horizon not in self._forecasts:
+            raise ValueError(f"horizon {horizon} not in exported set "
+                             f"{self.horizons}")
+        return self._forecasts[horizon](state)
+
+
+def load_streaming_exported(blob: bytes) -> StreamingServer:
+    """Deserialize an ``export_streaming`` artifact."""
+    import json
+    import struct
+
+    if blob[:len(_STREAM_MAGIC)] != _STREAM_MAGIC:
+        raise ValueError("not a streaming serving artifact")
+    off = len(_STREAM_MAGIC)
+    (hlen,) = struct.unpack("<I", blob[off:off + 4])
+    off += 4
+    meta = json.loads(blob[off:off + hlen].decode())
+    off += hlen
+    fns = {}
+    for name, length in meta["entries"]:
+        fns[name] = jax.jit(
+            _jax_export.deserialize(blob[off:off + length]).call)
+        off += length
+    forecasts = {int(n.split("_", 1)[1]): f for n, f in fns.items()
+                 if n.startswith("forecast_")}
+    return StreamingServer(meta, fns["observe"], forecasts)

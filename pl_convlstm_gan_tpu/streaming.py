@@ -142,6 +142,37 @@ class StreamingForecaster:
                                None, length=horizon)
         return jnp.transpose(outs, (1, 0, 4, 2, 3)).astype(jnp.float32)
 
+    # -- AOT export hooks (serve.export_streaming) -------------------------
+    # exported callables use PLAIN nested tuples for the state (not the
+    # StreamState NamedTuple): jax.export must serialize the input/output
+    # pytree structure, and builtin containers round-trip it portably
+    def export_observe_fn(self):
+        """``(state_tuple, frame [B,C,H,W]) -> (state_tuple, nowcast)`` with
+        params closed over (baked into the exported artifact)."""
+        def fn(state_tuple, frame):
+            cells, prev = state_tuple
+            seq = _to_nhwc_seq(frame[:, None]).astype(self._cdtype)
+            new, now = self._observe_seq(self._vars,
+                                         StreamState(tuple(cells), prev), seq)
+            return (tuple(new.cells), new.prev_out), now
+        return fn
+
+    def export_forecast_fn(self, horizon: int):
+        """``state_tuple -> forecast [B, horizon, C, H, W]`` (pure branch)."""
+        def fn(state_tuple):
+            cells, prev = state_tuple
+            return self._forecast_scan(self._vars,
+                                       StreamState(tuple(cells), prev),
+                                       horizon)
+        return fn
+
+    def export_meta(self) -> dict:
+        """Static state geometry a serving process needs to zero-init a
+        stream without any model code (serve.load_streaming_exported)."""
+        return {"hidden": list(self._hidden), "channels": self._channels,
+                "dtype": ("bfloat16" if self._cdtype == jnp.bfloat16
+                          else "float32")}
+
     # -- public API --------------------------------------------------------
     def observe_window(self, state: StreamState, frames
                        ) -> Tuple[StreamState, jnp.ndarray]:

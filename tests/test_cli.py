@@ -135,3 +135,23 @@ def test_cli_resume_flag(tmp_path, capsys):
     out2 = capsys.readouterr().out
     assert "Resuming from" in out2
     assert "Restored checkpoint" in out2
+
+
+def test_cli_export_stream_mode(tmp_path):
+    """export-stream mode: checkpoint -> streaming (stateful) serving
+    artifact with observe + per-horizon forecast programs."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.serve import load_streaming_exported
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    art = tmp_path / "stream.jaxexport"
+    _run_main(["--config", "ci_smoke_seq", "--mode", "export-stream",
+               "--output", str(art)], str(tmp_path))
+    server = load_streaming_exported(art.read_bytes())
+    assert server.horizons == (3,)   # ci_smoke_seq output_frames
+    state = server.init_state(2)
+    frame = np.random.default_rng(0).random((2, 1, 16, 16)).astype(np.float32)
+    state, now = server.observe(state, frame)
+    assert now.shape == (2, 1, 16, 16)
+    fc = server.forecast(state, 3)
+    assert fc.shape == (2, 3, 1, 16, 16)
+    assert np.isfinite(np.asarray(fc)).all()

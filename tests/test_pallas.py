@@ -174,7 +174,7 @@ def test_rollout_kernel_odd_step_count():
                                atol=1e-5, rtol=1e-5)
 
 
-@pytest.mark.parametrize("horizon", [3, 4])   # odd/even trailing-step paths
+@pytest.mark.parametrize("horizon", [1, 3, 4])  # min/odd/even step paths
 def test_rollout_kernel_warm_start_matches_streaming_scan(horizon):
     """Warm-start kernel (state seeded from a live stream) == the streaming
     XLA forecast scan branched from the same state, interpret mode, f32."""

@@ -97,3 +97,51 @@ def test_export_static_batch(tmp_path):
     assert serve(sample).shape[0] == 2
     with pytest.raises(Exception):
         jax.block_until_ready(serve(jnp.concatenate([sample] * 2, axis=0)))
+
+
+def test_streaming_export_roundtrip(tmp_path):
+    """export_streaming -> bytes -> StreamingServer reproduces the in-process
+    StreamingForecaster (observe chain + branched forecast), and the batch
+    dim is symbolic (one artifact, any number of concurrent streams)."""
+    from pl_convlstm_gan_tpu.serve import (export_streaming,
+                                           load_streaming_exported)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    config = load_config("ci_smoke_seq")
+    _, params, sample, ckpt = _forecaster_ckpt(tmp_path, config)
+
+    blob = export_streaming(config, ckpt, 16, 16, horizons=(2, 3))
+    art = tmp_path / "stream.jaxexport"
+    art.write_bytes(blob)
+
+    import shutil
+    shutil.rmtree(ckpt)  # artifact must be self-contained
+    server = load_streaming_exported(art.read_bytes())
+    assert server.horizons == (2, 3)
+
+    sf = StreamingForecaster(config, {"params": params["params"]})
+    ref_state = sf.init_state(2, 16, 16)
+    state = server.init_state(2)
+    first_now = None
+    for t in range(sample.shape[1]):
+        ref_state, ref_now = sf.observe(ref_state, sample[:, t])
+        state, now = server.observe(state, sample[:, t])
+        first_now = now if first_now is None else first_now
+        np.testing.assert_allclose(np.asarray(now), np.asarray(ref_now),
+                                   rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(server.forecast(state, 3)),
+                               np.asarray(sf.forecast(ref_state, 3)),
+                               rtol=1e-5, atol=1e-5)
+
+    # unexported horizon fails loudly
+    import pytest
+    with pytest.raises(ValueError, match="not in exported set"):
+        server.forecast(state, 7)
+
+    # symbolic batch: 5 concurrent streams through the same artifact
+    s5 = server.init_state(5)
+    frame5 = jnp.concatenate([sample[:, 0]] * 3, axis=0)[:5]
+    s5, now5 = server.observe(s5, frame5)
+    assert now5.shape == (5, 1, 16, 16)
+    np.testing.assert_allclose(np.asarray(now5[:2]),
+                               np.asarray(first_now), rtol=1e-5, atol=1e-5)
