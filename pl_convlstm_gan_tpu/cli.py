@@ -45,10 +45,12 @@ def main():
                         help="predict mode: output .npy path "
                              "(default: <output_dir>/predictions.npy)")
     parser.add_argument("--output-frames", type=int, default=0,
-                        help="predict/export mode, sequence families: serve "
-                             "a different rollout horizon than the checkpoint "
-                             "was trained at (recurrent params are "
-                             "horizon-independent); 0 = config value")
+                        help="predict/export/export-stream mode, sequence "
+                             "families: serve a different rollout horizon "
+                             "than the checkpoint was trained at (recurrent "
+                             "params are horizon-independent); for "
+                             "export-stream this picks the exported forecast "
+                             "program's horizon; 0 = config value")
     parser.add_argument("--resume", action="store_true",
                         help="train mode: resume from <output_dir>/latest "
                              "(or best_model) if present — restart-based "

@@ -232,45 +232,6 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         one_step(steps - 1, (steps - 1) % 2)
 
 
-@functools.partial(jax.jit, static_argnames=("t_out",))
-def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
-    """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W]."""
-    b, t_in, hgt, wid = frames.shape
-    ch = w2p.shape[1] // 2
-    dtype = frames.dtype
-    tile = _pick_tile(hgt)
-    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize)
-    if nb < 1:
-        raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
-
-    body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
-                             hgt=hgt, wid=wid, tile=tile, nb=nb)
-    lanes = 2 * ch
-    grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
-                                        lambda i: (i, 0, 0, 0),
-                                        memory_space=pltpu.VMEM)
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        body,
-        grid=(b // nb,),
-        in_specs=[grid_block(t_in), full(), full(), full(), full(), full(),
-                  full()],
-        out_specs=grid_block(t_out),
-        out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
-        scratch_shapes=[
-            # padded width rounded up to the 16-sublane tile: the per-step
-            # .at[slot] sub-ref slice requires tiling-aligned sublane extents
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
-            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret(),
-    )(frames, w1p, b1, w2p, b2, whp, bh)
-    return out
-
-
 def _rollout_body_warm(frames_ref, h0_ref, c0_ref, w1_ref, b1_ref, w2_ref,
                        b2_ref, wh_ref, bh_ref, out_ref, xh1_ref, xh2_ref,
                        cbuf_ref, **kw):
@@ -282,6 +243,61 @@ def _rollout_body_warm(frames_ref, h0_ref, c0_ref, w1_ref, b1_ref, w2_ref,
                   h0_ref=h0_ref, c0_ref=c0_ref, **kw)
 
 
+def _launch_rollout(packed, frames, h0, c0, t_out: int):
+    """Shared pallas_call scaffolding for the cold (h0/c0 None) and warm
+    variants — one place owns block specs, scratch shapes, and VMEM policy."""
+    w1p, b1, w2p, b2, whp, bh = packed
+    b, t_in, hgt, wid = frames.shape
+    ch = w2p.shape[1] // 2
+    dtype = frames.dtype
+    tile = _pick_tile(hgt)
+    warm = h0 is not None
+    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize,
+                  warm)
+    if nb < 1:
+        raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
+
+    body_fn = _rollout_body_warm if warm else _rollout_body
+    body = functools.partial(body_fn, t_in=t_in, t_out=t_out, ch=ch,
+                             hgt=hgt, wid=wid, tile=tile, nb=nb)
+    lanes = 2 * ch
+    grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
+                                        lambda i: (i, 0, 0, 0),
+                                        memory_space=pltpu.VMEM)
+    state_block = lambda: pl.BlockSpec((nb, hgt, wid, lanes),
+                                       lambda i: (i, 0, 0, 0),
+                                       memory_space=pltpu.VMEM)
+    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    in_specs = ([grid_block(t_in)]
+                + ([state_block(), state_block()] if warm else [])
+                + [full()] * 6)
+    args = (frames,) + ((h0, c0) if warm else ()) + packed
+
+    return pl.pallas_call(
+        body,
+        grid=(b // nb,),
+        in_specs=in_specs,
+        out_specs=grid_block(t_out),
+        out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
+        scratch_shapes=[
+            # padded width rounded up to the 16-sublane tile: the per-step
+            # .at[slot] sub-ref slice requires tiling-aligned sublane extents
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
+            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
+            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(jax.jit, static_argnames=("t_out",))
+def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
+    """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W]."""
+    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, None, None,
+                           t_out)
+
+
 @functools.partial(jax.jit, static_argnames=("t_out",))
 def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int):
     """Decode-only rollout from a warm recurrent state.
@@ -290,40 +306,7 @@ def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int):
     frame); h0/c0: [B, H, W, 2*ch] packed (cell1 | cell2) hidden/cell state.
     Runs t_in=1 so step 0 consumes the seed frame against the warm state and
     the head emits from step 0 — exactly horizon=t_out free-running steps."""
-    b, t_in, hgt, wid = frames.shape
-    ch = w2p.shape[1] // 2
-    dtype = frames.dtype
-    tile = _pick_tile(hgt)
-    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize)
-    if nb < 1:
-        raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
-
-    body = functools.partial(_rollout_body_warm, t_in=t_in, t_out=t_out,
-                             ch=ch, hgt=hgt, wid=wid, tile=tile, nb=nb)
-    lanes = 2 * ch
-    grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
-                                        lambda i: (i, 0, 0, 0),
-                                        memory_space=pltpu.VMEM)
-    state_block = pl.BlockSpec((nb, hgt, wid, lanes), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM)
-    full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-
-    out = pl.pallas_call(
-        body,
-        grid=(b // nb,),
-        in_specs=[grid_block(t_in), state_block, state_block, full(), full(),
-                  full(), full(), full(), full()],
-        out_specs=grid_block(t_out),
-        out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
-            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret(),
-    )(frames, h0, c0, w1p, b1, w2p, b2, whp, bh)
-    return out
+    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, h0, c0, t_out)
 
 
 def _pack_weights(cell1, cell2, head_kernel, head_bias, ch: int, dtype):

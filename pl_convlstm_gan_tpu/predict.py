@@ -51,6 +51,18 @@ def build_model(config: Config, lu_channels: int = 0,
     return Generator(**kwargs)
 
 
+def restore_params(checkpoint_path: str):
+    """Restore model params from a trainer checkpoint: ``params`` for the
+    single-model families, ``gen_params`` for GAN checkpoints (the generator
+    is the deployed model). The one lookup rule shared by every deployment
+    surface (predict / serve / streaming)."""
+    device_state, _ = restore_checkpoint(checkpoint_path)
+    params = device_state.get("params", device_state.get("gen_params"))
+    if params is None:
+        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
+    return params
+
+
 def build_predict_fn(config: Config, checkpoint_path: str,
                      lu_channels: int = 0, output_frames: int = 0,
                      rollout_impl: str = "") -> Callable:
@@ -62,10 +74,7 @@ def build_predict_fn(config: Config, checkpoint_path: str,
     Generator family: fn(rain_lr [B,T,1,H,W], dem, lu) -> [B,T,1,H',W'].
     Forecaster/GAN:   fn(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W]."""
     model = build_model(config, lu_channels, output_frames)
-    device_state, _ = restore_checkpoint(checkpoint_path)
-    params = device_state.get("params", device_state.get("gen_params"))
-    if params is None:
-        raise ValueError(f"No params/gen_params in checkpoint {checkpoint_path}")
+    params = restore_params(checkpoint_path)
 
     if config.model.family in ("forecaster", "gan"):
         impl = rollout_impl or config.model.rollout_impl

@@ -115,6 +115,11 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
 
     from .streaming import StreamingForecaster
 
+    horizons = [int(h) for h in horizons]
+    if not horizons or any(h < 1 for h in horizons):
+        raise ValueError(f"horizons must be >= 1, got {horizons}")
+    if len(set(horizons)) != len(horizons):
+        raise ValueError(f"duplicate horizons: {horizons}")
     sf = StreamingForecaster.from_checkpoint(config, checkpoint_path)
     meta = sf.export_meta()
     state_tpl = jax.eval_shape(lambda: sf.init_state(batch_size, height,
@@ -135,13 +140,13 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
         jax.jit(sf.export_observe_fn()), platforms=plats)(
             state_spec, frame_spec).serialize())]
     for h in horizons:
-        entries.append((f"forecast_{int(h)}", _jax_export.export(
-            jax.jit(sf.export_forecast_fn(int(h))), platforms=plats)(
+        entries.append((f"forecast_{h}", _jax_export.export(
+            jax.jit(sf.export_forecast_fn(h)), platforms=plats)(
                 state_spec).serialize()))
 
     header = json.dumps({
         "format": 1, "height": height, "width": width,
-        "horizons": [int(h) for h in horizons],
+        "horizons": horizons,
         "batch_polymorphic": bool(batch_polymorphic),
         "entries": [[name, len(data)] for name, data in entries], **meta,
     }).encode()

@@ -85,21 +85,22 @@ class StreamingForecaster:
         self._kernel_size = mc.kernel_size
         self._rollout_impl = mc.rollout_impl
         # params enter as a jit ARGUMENT (not a closure constant) so weights
-        # are device buffers, not constants baked into the executable
+        # are device buffers, not constants baked into the executable.
+        # Every public entry is ONE jitted dispatch — layout transposes,
+        # casts, and (for the Pallas branch) weight repacking are traced into
+        # the compiled program, never eagerly dispatched per call.
         self._jit_observe = jax.jit(self._observe_seq)
+        self._jit_observe_one = jax.jit(
+            lambda v, s, f: self._observe_seq(v, s, f[:, None]))
         self._jit_forecast = jax.jit(self._forecast_scan,
                                      static_argnames="horizon")
+        self._jit_forecast_pallas = None    # built on first TPU-kernel use
 
     @classmethod
     def from_checkpoint(cls, config: Config, checkpoint_path: str
                         ) -> "StreamingForecaster":
-        from .train.checkpoint import restore_checkpoint
-        device_state, _ = restore_checkpoint(checkpoint_path)
-        params = device_state.get("params", device_state.get("gen_params"))
-        if params is None:
-            raise ValueError(
-                f"No params/gen_params in checkpoint {checkpoint_path}")
-        return cls(config, params)
+        from .predict import restore_params
+        return cls(config, restore_params(checkpoint_path))
 
     # -- state -----------------------------------------------------------
     def init_state(self, batch_size: int, height: int, width: int
@@ -120,13 +121,14 @@ class StreamingForecaster:
             (frame_nhwc, flags, jnp.zeros_like(frame_nhwc), no_teacher))
         return (cells, prev), out
 
-    def _observe_seq(self, core_vars, state: StreamState, frames_tbhwc):
+    def _observe_seq(self, core_vars, state: StreamState, frames_btchw):
+        seq = _to_nhwc_seq(frames_btchw).astype(self._cdtype)
+
         def body(carry, frame):
             carry, _ = self._step(core_vars, carry, frame, True)
             return carry, None
 
-        carry, _ = jax.lax.scan(body, (state.cells, state.prev_out),
-                                frames_tbhwc)
+        carry, _ = jax.lax.scan(body, (state.cells, state.prev_out), seq)
         cells, prev = carry
         nowcast = jnp.transpose(prev, (0, 3, 1, 2)).astype(jnp.float32)
         return StreamState(cells, prev), nowcast
@@ -151,9 +153,8 @@ class StreamingForecaster:
         params closed over (baked into the exported artifact)."""
         def fn(state_tuple, frame):
             cells, prev = state_tuple
-            seq = _to_nhwc_seq(frame[:, None]).astype(self._cdtype)
-            new, now = self._observe_seq(self._vars,
-                                         StreamState(tuple(cells), prev), seq)
+            new, now = self._observe_seq(
+                self._vars, StreamState(tuple(cells), prev), frame[:, None])
             return (tuple(new.cells), new.prev_out), now
         return fn
 
@@ -179,14 +180,13 @@ class StreamingForecaster:
         """Assimilate ``frames [B, T, C, H, W]``; returns ``(new_state,
         nowcast [B, C, H, W])`` — the 1-step-ahead prediction issued from the
         last observed frame (the batch rollout's first output frame)."""
-        seq = _to_nhwc_seq(jnp.asarray(frames)).astype(self._cdtype)
-        return self._jit_observe(self._vars, state, seq)
+        return self._jit_observe(self._vars, state, jnp.asarray(frames))
 
     def observe(self, state: StreamState, frame
                 ) -> Tuple[StreamState, jnp.ndarray]:
         """Assimilate one frame ``[B, C, H, W]``; returns ``(new_state,
         nowcast [B, C, H, W])``."""
-        return self.observe_window(state, jnp.asarray(frame)[:, None])
+        return self._jit_observe_one(self._vars, state, jnp.asarray(frame))
 
     def forecast(self, state: StreamState, horizon: int) -> jnp.ndarray:
         """Free-running rollout of ``horizon`` frames ``[B, horizon, C, H, W]``
@@ -214,8 +214,16 @@ class StreamingForecaster:
                     "frames, lanes tiling) — use 'xla'")
             if fits and (jax.default_backend() == "tpu"
                          or self._rollout_impl == "pallas"):
-                full_vars = {"params": {"core": self._vars["params"]}}
-                return rollout_pallas_from_state(
-                    full_vars, state.cells, state.prev_out, horizon,
-                    self._cdtype)
+                if self._jit_forecast_pallas is None:
+                    # ONE dispatch per call: weight repacking + state packing
+                    # compile into the program (cached per horizon)
+                    self._jit_forecast_pallas = jax.jit(
+                        lambda core, cells, prev, horizon:
+                        rollout_pallas_from_state(
+                            {"params": {"core": core}}, cells, prev, horizon,
+                            self._cdtype),
+                        static_argnames="horizon")
+                return self._jit_forecast_pallas(
+                    self._vars["params"], state.cells, state.prev_out,
+                    horizon=horizon)
         return self._jit_forecast(self._vars, state, horizon=horizon)

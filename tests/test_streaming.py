@@ -94,11 +94,16 @@ def test_forecast_is_pure_branching(rng):
     np.testing.assert_allclose(np.asarray(f5[:, :3]), np.asarray(f1),
                                atol=1e-6)
 
-    # a branch doesn't disturb later assimilation: observing the next truth
-    # produces the same state as never having forecast at all
-    s_a, now_a = sf.observe(state, f5[:, 0])
-    s_b, now_b = sf.observe(state, f5[:, 0])
-    np.testing.assert_array_equal(np.asarray(now_a), np.asarray(now_b))
+    # a branch doesn't disturb later assimilation: the state observed AFTER
+    # forecasting matches a baseline stream that never forecast at all
+    base = sf.init_state(frames.shape[0], frames.shape[3], frames.shape[4])
+    base, _ = sf.observe_window(base, frames)       # no forecast issued
+    base, now_base = sf.observe(base, f5[:, 0])
+    s_a, now_a = sf.observe(state, f5[:, 0])        # after 3 forecasts
+    np.testing.assert_array_equal(np.asarray(now_a), np.asarray(now_base))
+    for (pa, pb) in zip(s_a.cells, base.cells):
+        np.testing.assert_array_equal(np.asarray(pa[0]), np.asarray(pb[0]))
+        np.testing.assert_array_equal(np.asarray(pa[1]), np.asarray(pb[1]))
 
 
 def test_streaming_from_checkpoint(tmp_path, rng):
