@@ -51,6 +51,11 @@ def main():
                              "params are horizon-independent); for "
                              "export-stream this picks the exported forecast "
                              "program's horizon; 0 = config value")
+    parser.add_argument("--horizons", type=str, default="",
+                        help="export-stream mode: comma-separated forecast "
+                             "horizons to export (e.g. '10,30,60' -> one "
+                             "forecast program per horizon in the artifact); "
+                             "overrides --output-frames")
     parser.add_argument("--resume", action="store_true",
                         help="train mode: resume from <output_dir>/latest "
                              "(or best_model) if present — restart-based "
@@ -186,7 +191,14 @@ def main():
         else:
             ds = make_trainer().setup_data()
             hgt, wid = np.asarray(ds[0][0]).shape[-2:]
-        horizons = (args.output_frames or config.model.output_frames,)
+        if args.horizons:
+            try:
+                horizons = tuple(int(h) for h in args.horizons.split(","))
+            except ValueError:
+                raise SystemExit(f"--horizons must be comma-separated ints, "
+                                 f"got {args.horizons!r}")
+        else:
+            horizons = (args.output_frames or config.model.output_frames,)
         blob = export_streaming(config, ckpt, int(hgt), int(wid),
                                 horizons=horizons)
         with open(out_path, "wb") as f:

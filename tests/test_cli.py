@@ -155,3 +155,16 @@ def test_cli_export_stream_mode(tmp_path):
     fc = server.forecast(state, 3)
     assert fc.shape == (2, 3, 1, 16, 16)
     assert np.isfinite(np.asarray(fc)).all()
+
+    # --horizons: multiple forecast programs in one artifact
+    art2 = tmp_path / "stream_multi.jaxexport"
+    _run_main(["--config", "ci_smoke_seq", "--mode", "export-stream",
+               "--output", str(art2), "--horizons", "2,4"], str(tmp_path))
+    multi = load_streaming_exported(art2.read_bytes())
+    assert multi.horizons == (2, 4)
+    state2 = multi.init_state(1)
+    state2, _ = multi.observe(state2, frame[:1])
+    assert multi.forecast(state2, 2).shape == (1, 2, 1, 16, 16)
+    assert multi.forecast(state2, 4).shape == (1, 4, 1, 16, 16)
+    with pytest.raises(ValueError, match="not in exported set"):
+        multi.forecast(state2, 3)
