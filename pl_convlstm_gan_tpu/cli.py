@@ -56,6 +56,12 @@ def main():
                              "horizons to export (e.g. '10,30,60' -> one "
                              "forecast program per horizon in the artifact); "
                              "overrides --output-frames")
+    parser.add_argument("--tpu-kernel", type=str, default="auto",
+                        choices=("auto", "require", "off"),
+                        help="export-stream mode: embed TPU-only Pallas "
+                             "rollout programs in the artifact for supported "
+                             "horizons (auto), fail if none fit (require), "
+                             "or export XLA-only (off)")
     parser.add_argument("--resume", action="store_true",
                         help="train mode: resume from <output_dir>/latest "
                              "(or best_model) if present — restart-based "
@@ -200,12 +206,17 @@ def main():
         else:
             horizons = (args.output_frames or config.model.output_frames,)
         blob = export_streaming(config, ckpt, int(hgt), int(wid),
-                                horizons=horizons)
+                                horizons=horizons,
+                                tpu_kernel=args.tpu_kernel)
         with open(out_path, "wb") as f:
             f.write(blob)
+        import json as _json
+        hdr_len = int.from_bytes(blob[8:12], "little")
+        pallas_hs = _json.loads(blob[12:12 + hdr_len]).get(
+            "pallas_horizons", [])
         print(f"Exported streaming artifact ({len(blob)} bytes, observe + "
-              f"forecast{list(horizons)}, batch-polymorphic, tpu+cpu) "
-              f"to {out_path}")
+              f"forecast{list(horizons)}, pallas{pallas_hs}, "
+              f"batch-polymorphic, tpu+cpu) to {out_path}")
     else:
         make_trainer().train()
 

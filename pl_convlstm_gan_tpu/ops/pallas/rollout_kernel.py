@@ -243,9 +243,14 @@ def _rollout_body_warm(frames_ref, h0_ref, c0_ref, w1_ref, b1_ref, w2_ref,
                   h0_ref=h0_ref, c0_ref=c0_ref, **kw)
 
 
-def _launch_rollout(packed, frames, h0, c0, t_out: int):
+def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     """Shared pallas_call scaffolding for the cold (h0/c0 None) and warm
-    variants — one place owns block specs, scratch shapes, and VMEM policy."""
+    variants — one place owns block specs, scratch shapes, and VMEM policy.
+
+    ``interpret``: None = auto (interpreter on non-TPU backends); an explicit
+    bool overrides — cross-platform ``jax.export`` lowering for TPU from a
+    CPU-only host must pass False or the artifact silently captures the
+    interpreter emulation instead of the Mosaic kernel."""
     w1p, b1, w2p, b2, whp, bh = packed
     b, t_in, hgt, wid = frames.shape
     ch = w2p.shape[1] // 2
@@ -287,26 +292,29 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int):
             pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=_interpret(),
+        interpret=_interpret() if interpret is None else interpret,
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("t_out",))
-def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int):
+@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
+def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int,
+                 interpret=None):
     """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W]."""
     return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, None, None,
-                           t_out)
+                           t_out, interpret)
 
 
-@functools.partial(jax.jit, static_argnames=("t_out",))
-def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int):
+@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
+def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int,
+                      interpret=None):
     """Decode-only rollout from a warm recurrent state.
 
     frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
     frame); h0/c0: [B, H, W, 2*ch] packed (cell1 | cell2) hidden/cell state.
     Runs t_in=1 so step 0 consumes the seed frame against the warm state and
     the head emits from step 0 — exactly horizon=t_out free-running steps."""
-    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, h0, c0, t_out)
+    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, h0, c0, t_out,
+                           interpret)
 
 
 def _pack_weights(cell1, cell2, head_kernel, head_bias, ch: int, dtype):
@@ -351,7 +359,8 @@ def rollout_pallas(params, frames, t_out: int,
 
 
 def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
-                              compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                              compute_dtype=jnp.bfloat16,
+                              interpret=None) -> jnp.ndarray:
     """Free-running rollout branched from a WARM recurrent state.
 
     The streaming counterpart of ``rollout_pallas``: instead of encoding an
@@ -377,5 +386,5 @@ def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
     h0 = jnp.concatenate([cells[0][0], cells[1][0]], -1).astype(compute_dtype)
     c0 = jnp.concatenate([cells[0][1], cells[1][1]], -1).astype(compute_dtype)
     fr = jnp.transpose(prev_out, (0, 3, 1, 2)).astype(compute_dtype)
-    out = _run_rollout_warm(*packed, fr, h0, c0, horizon)
+    out = _run_rollout_warm(*packed, fr, h0, c0, horizon, interpret)
     return out[:, :, None].astype(jnp.float32)          # [B, horizon, 1, H, W]

@@ -98,7 +98,8 @@ _STREAM_MAGIC = b"PLCGSTR1"
 def export_streaming(config: Config, checkpoint_path: str, height: int,
                      width: int, horizons: Sequence[int] = (10,),
                      batch_polymorphic: bool = True, batch_size: int = 1,
-                     platforms: Optional[Sequence[str]] = None) -> bytes:
+                     platforms: Optional[Sequence[str]] = None,
+                     tpu_kernel: str = "auto") -> bytes:
     """AOT-export the streaming inference surface for a checkpoint.
 
     The artifact contains `observe` (one-frame assimilation: ``(state,
@@ -106,10 +107,17 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
     horizon in `horizons` (``state -> [B, h, C, H, W]``; horizons are static
     loop lengths, so each needs its own lowering). H/W are static; the batch
     (number of concurrently-served streams) is symbolic unless
-    `batch_polymorphic=False` pins it to `batch_size`. Forecast programs use
-    the portable XLA rollout (the warm-start Pallas kernel is a TPU-only
-    Mosaic custom call — in-process `StreamingForecaster.forecast` selects
-    that; the exported artifact favors TPU+CPU portability)."""
+    `batch_polymorphic=False` pins it to `batch_size`.
+
+    Forecast programs: every horizon gets a portable XLA-rollout program
+    (TPU+CPU, symbolic batch). When ``tpu_kernel`` is ``"auto"`` (default)
+    or ``"require"`` and ``"tpu"`` is among the platforms, each horizon the
+    warm-start VMEM-resident Pallas kernel supports ADDITIONALLY gets a
+    TPU-only program at the pinned ``batch_size`` (Mosaic custom calls need
+    a static grid, so these can't be batch-polymorphic) — the server picks
+    it on TPU when the request batch matches and falls back to the XLA
+    program otherwise. ``"require"`` raises if no horizon could get a kernel
+    program; ``"off"`` skips them."""
     import json
     import struct
 
@@ -120,6 +128,9 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
         raise ValueError(f"horizons must be >= 1, got {horizons}")
     if len(set(horizons)) != len(horizons):
         raise ValueError(f"duplicate horizons: {horizons}")
+    if tpu_kernel not in ("auto", "require", "off"):
+        raise ValueError(f"tpu_kernel must be auto/require/off, "
+                         f"got {tpu_kernel!r}")
     sf = StreamingForecaster.from_checkpoint(config, checkpoint_path)
     meta = sf.export_meta()
     state_tpl = jax.eval_shape(lambda: sf.init_state(batch_size, height,
@@ -144,9 +155,30 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
             jax.jit(sf.export_forecast_fn(h)), platforms=plats)(
                 state_spec).serialize()))
 
+    # TPU-only Pallas-kernel forecast programs at the pinned batch size
+    pallas_horizons = []
+    if tpu_kernel != "off" and "tpu" in plats:
+        static_spec = (tuple(tuple(pair) for pair in state_tpl.cells),
+                       state_tpl.prev_out)
+        for h in horizons:
+            if not sf.pallas_forecast_fits(batch_size, height, width, h):
+                continue
+            data = _jax_export.export(
+                jax.jit(sf.export_forecast_pallas_fn(h)),
+                platforms=["tpu"])(static_spec).serialize()
+            entries.append((f"forecast_{h}_pallas", data))
+            pallas_horizons.append(h)
+        if tpu_kernel == "require" and not pallas_horizons:
+            raise ValueError(
+                "tpu_kernel='require' but the Pallas rollout kernel supports "
+                "none of the requested horizons at this shape (needs 2 equal-"
+                "width cells with 2*ch % 128 == 0, 3x3 kernels, 1-channel "
+                "frames, H/W % 8 == 0, VMEM budget)")
+
     header = json.dumps({
         "format": 1, "height": height, "width": width,
         "horizons": horizons,
+        "pallas_horizons": pallas_horizons, "pallas_batch": batch_size,
         "batch_polymorphic": bool(batch_polymorphic),
         "entries": [[name, len(data)] for name, data in entries], **meta,
     }).encode()
@@ -159,10 +191,11 @@ class StreamingServer:
     branch forecasts — no model code, config, or checkpoint needed."""
 
     def __init__(self, meta: dict, observe_fn: Callable,
-                 forecast_fns: dict):
+                 forecast_fns: dict, pallas_forecast_fns: Optional[dict] = None):
         self._meta = meta
         self._observe = observe_fn
         self._forecasts = forecast_fns
+        self._pallas_forecasts = pallas_forecast_fns or {}
 
     @property
     def horizons(self) -> Tuple[int, ...]:
@@ -181,10 +214,18 @@ class StreamingServer:
         return self._observe(state, frame)
 
     def forecast(self, state, horizon: int):
-        """Branch a ``horizon``-frame forecast (must be an exported one)."""
+        """Branch a ``horizon``-frame forecast (must be an exported one).
+
+        On TPU, when the artifact carries a Pallas-kernel program for this
+        horizon and the request batch matches its pinned batch size, that
+        program serves the call; otherwise the portable XLA program does."""
         if horizon not in self._forecasts:
             raise ValueError(f"horizon {horizon} not in exported set "
                              f"{self.horizons}")
+        pfn = self._pallas_forecasts.get(horizon)
+        if (pfn is not None and jax.default_backend() == "tpu"
+                and state[1].shape[0] == self._meta.get("pallas_batch")):
+            return pfn(state)
         return self._forecasts[horizon](state)
 
 
@@ -205,6 +246,12 @@ def load_streaming_exported(blob: bytes) -> StreamingServer:
         fns[name] = jax.jit(
             _jax_export.deserialize(blob[off:off + length]).call)
         off += length
-    forecasts = {int(n.split("_", 1)[1]): f for n, f in fns.items()
-                 if n.startswith("forecast_")}
-    return StreamingServer(meta, fns["observe"], forecasts)
+    forecasts, pallas = {}, {}
+    for n, f in fns.items():
+        if not n.startswith("forecast_"):
+            continue
+        if n.endswith("_pallas"):
+            pallas[int(n.split("_")[1])] = f
+        else:
+            forecasts[int(n.split("_", 1)[1])] = f
+    return StreamingServer(meta, fns["observe"], forecasts, pallas)

@@ -167,6 +167,30 @@ class StreamingForecaster:
                                        horizon)
         return fn
 
+    def pallas_forecast_fits(self, batch: int, height: int, width: int,
+                             horizon: int) -> bool:
+        """Whether the warm-start Pallas rollout kernel supports this shape
+        family (2 equal-width cells, 3x3 kernels, 1-channel frames, lane
+        tiling, VMEM budget — ops/pallas/rollout_kernel.py)."""
+        from .ops.pallas.rollout_kernel import rollout_pallas_fits
+        return rollout_pallas_fits(
+            1, horizon, batch, self._channels, height, width, self._hidden,
+            self._kernel_size, jnp.dtype(self._cdtype).itemsize, warm=True)
+
+    def export_forecast_pallas_fn(self, horizon: int):
+        """TPU-only variant of ``export_forecast_fn``: the warm-start
+        VMEM-resident Pallas rollout kernel (a Mosaic custom call) instead of
+        the portable XLA scan. ``interpret=False`` is forced so cross-platform
+        export from a CPU-only host still captures the compiled kernel."""
+        from .ops.pallas.rollout_kernel import rollout_pallas_from_state
+
+        def fn(state_tuple):
+            cells, prev = state_tuple
+            return rollout_pallas_from_state(
+                {"params": {"core": self._vars["params"]}}, tuple(cells),
+                prev, horizon, self._cdtype, interpret=False)
+        return fn
+
     def export_meta(self) -> dict:
         """Static state geometry a serving process needs to zero-init a
         stream without any model code (serve.load_streaming_exported)."""
@@ -200,13 +224,9 @@ class StreamingForecaster:
         if horizon < 1:
             raise ValueError(f"horizon must be >= 1, got {horizon}")
         if self._rollout_impl in ("pallas", "auto"):
-            from .ops.pallas.rollout_kernel import (rollout_pallas_fits,
-                                                    rollout_pallas_from_state)
+            from .ops.pallas.rollout_kernel import rollout_pallas_from_state
             b, h, w, _ = state.prev_out.shape
-            fits = rollout_pallas_fits(
-                1, horizon, b, self._channels, h, w, self._hidden,
-                self._kernel_size, jnp.dtype(self._cdtype).itemsize,
-                warm=True)
+            fits = self.pallas_forecast_fits(b, h, w, horizon)
             if self._rollout_impl == "pallas" and not fits:
                 raise ValueError(
                     "rollout_impl 'pallas' does not support this shape family "

@@ -145,3 +145,50 @@ def test_streaming_export_roundtrip(tmp_path):
     assert now5.shape == (5, 1, 16, 16)
     np.testing.assert_allclose(np.asarray(now5[:2]),
                                np.asarray(first_now), rtol=1e-5, atol=1e-5)
+
+
+def test_streaming_export_pallas_entries(tmp_path):
+    """tpu_kernel='require': the artifact carries TPU-only Pallas-kernel
+    forecast programs (Mosaic custom calls, interpret forced off so a CPU
+    export host still captures the compiled kernel) alongside the portable
+    XLA programs; on a CPU backend the server must fall back to XLA."""
+    import pytest
+    from pl_convlstm_gan_tpu.serve import (export_streaming,
+                                           load_streaming_exported)
+
+    config = load_config("ci_smoke_seq")
+    config.model.hidden_dims = [64, 64]   # kernel needs 2*ch % 128 == 0
+    model = build_model(config)
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.random(
+        (1, config.model.input_frames, 1, 8, 8)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), sample)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+
+    blob = export_streaming(config, ckpt, 8, 8, horizons=(2, 3),
+                            tpu_kernel="require")
+    server = load_streaming_exported(blob)
+    assert server._meta["pallas_horizons"] == [2, 3]
+    assert sorted(server._pallas_forecasts) == [2, 3]
+    assert server.horizons == (2, 3)      # XLA programs still present
+
+    state = server.init_state(1)
+    state, _ = server.observe(state, sample[:, 0])
+    fc = server.forecast(state, 2)        # CPU backend -> XLA fallback
+    assert fc.shape == (1, 2, 1, 8, 8)
+    assert np.isfinite(np.asarray(fc)).all()
+
+    # 'require' fails loudly when no horizon fits the kernel's shape family
+    cfg_small = load_config("ci_smoke_seq")   # hidden (8, 8): 16 lanes
+    _, _, _, ckpt_small = _forecaster_ckpt(tmp_path / "small", cfg_small)
+    with pytest.raises(ValueError, match="tpu_kernel"):
+        export_streaming(cfg_small, ckpt_small, 16, 16, horizons=(2,),
+                         tpu_kernel="require")
+
+    # 'off' exports no kernel programs even at a supported shape
+    blob_off = export_streaming(config, ckpt, 8, 8, horizons=(2,),
+                                tpu_kernel="off")
+    off_server = load_streaming_exported(blob_off)
+    assert off_server._meta["pallas_horizons"] == []
+    assert not off_server._pallas_forecasts
