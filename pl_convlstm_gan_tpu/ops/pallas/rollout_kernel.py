@@ -10,8 +10,9 @@ while-loop step machinery; with ~9 MB of state per batch item at the bench
 shape (128x128, 64ch, bf16) everything fits VMEM on a v5e core.
 
 Scope (dispatch falls back to the XLA scan otherwise):
-- exactly 2 stacked cells with EQUAL hidden width, 3x3 kernels, 1 channel
-  in/out — the production rollout family (bench, nowcast, GAN generator);
+- 2 OR 3 stacked cells with EQUAL hidden width, 3x3 kernels, 1 channel
+  in/out — the production rollout family (bench + GAN generator are 2-cell;
+  the flagship nowcast_128 forecaster is 3-cell);
 - free-running inference only (no teacher forcing, no targets).
 
 Kernel layout (per batch item; grid = (B,)):
@@ -19,7 +20,8 @@ Kernel layout (per batch item; grid = (B,)):
   The cell-1 kernel is repacked to match (h-rows first, then the x row, then
   zero rows to a 2*ch contraction) so the conv is one K=2*ch matmul per tap.
 - ``xh2[2]``: padded cell-2 input, lanes [0:ch] = h1 (same step), lanes
-  [ch:2ch] = h2 (previous step) — the natural concat layout.
+  [ch:2ch] = h2 (previous step) — the natural concat layout. A 3rd cell adds
+  ``xh3[2]`` with the same (h2 | h3) layout and a second cell-state buffer.
 - Double buffering (ping-pong on the leading [2]) keeps each step's reads
   coming from the previous step's writes — the in-place halo hazard of a
   single buffer can't corrupt neighbours.
@@ -67,28 +69,31 @@ def _wp(wid: int) -> int:
     return -((-(wid + 2)) // 16) * 16
 
 
-def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False) -> int:
+def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
+               n_cells=2) -> int:
     lanes = 2 * ch
     wp = _wp(w)
     tile = _pick_tile(h)
-    xh = 4 * nb * (h + 2) * wp * lanes * itemsize     # two ping-pong pairs
-    cb = nb * h * w * lanes * itemsize
+    xh = 2 * n_cells * nb * (h + 2) * wp * lanes * itemsize  # ping-pong pairs
+    cb = (1 + (n_cells > 2)) * nb * h * w * lanes * itemsize
     acc = nb * tile * w * 4 * ch * 4
-    wts = 2 * 9 * lanes * 4 * ch * itemsize
+    wts = n_cells * 9 * lanes * 4 * ch * itemsize
     io = nb * (t_in + 2 * t_out) * h * w * itemsize
     if warm:  # the packed (h0, c0) seed inputs also live in VMEM
-        io += 2 * nb * h * w * lanes * itemsize
+        io += 2 * nb * h * w * n_cells * ch * itemsize
     return xh + cb + acc + wts + io
 
 
-def _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm=False) -> int:
+def _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm=False,
+             n_cells=2) -> int:
     """Batch items per kernel invocation. MEASURED NEGATIVE (round 3): folding
     nb=4 into the matmul M dim at the bench shape multiplies Mosaic's fully-
     unrolled vector code by nb and the kernel compile went from ~2 min to
     >35 min (killed) — while at equal vector-register footprint (smaller row
     tile) batching saves zero ops. nb stays 1; the grid runs batch items
     sequentially, which the measured 28.6% win already includes."""
-    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm) <= _VMEM_LIMIT:
+    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm,
+                  n_cells) <= _VMEM_LIMIT:
         return 1
     return 0
 
@@ -97,27 +102,45 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
                         hidden_dims, kernel_size: int, itemsize: int,
                         warm: bool = False) -> bool:
     """Static dispatch check for the supported shape family + VMEM budget."""
-    if len(hidden_dims) != 2 or hidden_dims[0] != hidden_dims[1]:
+    n_cells = len(hidden_dims)
+    if n_cells not in (2, 3) or any(d != hidden_dims[0]
+                                    for d in hidden_dims[1:]):
         return False
     ch = hidden_dims[0]
     if c != 1 or kernel_size != 3 or t_in < 1 or t_out < 1:
         return False
     if h % 8 or w % 8 or ch % 8:
         return False
-    if (2 * ch) % 128:  # packed (h|x) / (h1|h2) lane layout must tile cleanly
+    if (2 * ch) % 128:  # packed (h|x) / (h|h) lane layout must tile cleanly
         return False
-    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm) >= 1
+    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm, n_cells) >= 1
 
 
-def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
-                  out_ref, xh1_ref, xh2_ref, cbuf_ref, *, t_in: int,
-                  t_out: int, ch: int, hgt: int, wid: int, tile: int,
-                  nb: int, h0_ref=None, c0_ref=None):
+def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
+                  tile: int, nb: int, n_cells: int, warm: bool):
     """``nb`` batch items are processed TOGETHER: the batch folds into the
     matmul M dimension (windows reshape [nb, tile, W, lanes] ->
     [nb*tile*W, lanes]), so per-tile slice/gate overheads amortize over the
     batch and the MXU sees larger contractions. Per-item halos stay correct
-    because padding borders are per item in the [nb, H+2, Wp, lanes] slabs."""
+    because padding borders are per item in the [nb, H+2, Wp, lanes] slabs.
+
+    Positional refs (pallas_call order — inputs, outputs, scratch):
+    frames, [h0, c0 (warm)], w/b per cell, wh, bh | out | xh per cell,
+    cell-state buffer(s) (c1|c2 packed; a second buffer holds c3)."""
+    i = 0
+    frames_ref = refs[i]; i += 1
+    h0_ref = c0_ref = None
+    if warm:
+        h0_ref, c0_ref = refs[i], refs[i + 1]; i += 2
+    wb_refs = [(refs[i + 2 * k], refs[i + 2 * k + 1])
+               for k in range(n_cells)]; i += 2 * n_cells
+    wh_ref, bh_ref = refs[i], refs[i + 1]; i += 2
+    out_ref = refs[i]; i += 1
+    xh_refs = list(refs[i:i + n_cells]); i += n_cells
+    cbuf_refs = list(refs[i:])
+    # cell k's state lives in (buffer, lane0): c1|c2 pack the first buffer
+    c_slot = [(cbuf_refs[k // 2], (k % 2) * ch) for k in range(n_cells)]
+
     lanes = 2 * ch
     n_tiles = hgt // tile
     steps = t_in + t_out - 1
@@ -126,17 +149,24 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
     # zero-init: borders stay zero forever (writes touch interiors only),
     # which IS the model's zero initial state + SAME-padding. A warm start
     # (streaming forecast branch) seeds the step-0 read slots instead: h1
-    # into cell-1's h lanes, h2 into cell-2's previous-step lanes, c1|c2
-    # into the packed cell-state buffer — cell 2's h1 lanes are written
-    # in-step by cell 1's pass, so they need no seeding.
-    xh1_ref[...] = jnp.zeros_like(xh1_ref)
-    xh2_ref[...] = jnp.zeros_like(xh2_ref)
-    if h0_ref is None:
-        cbuf_ref[...] = jnp.zeros_like(cbuf_ref)
+    # into cell-1's h lanes, each later cell's own h into its buffer's
+    # previous-step lanes, c into the packed cell-state buffers — the
+    # h-from-below lanes (0:ch of cells >= 2) are written in-step by the
+    # cell below's pass, so they need no seeding.
+    for x in xh_refs:
+        x[...] = jnp.zeros_like(x)
+    if not warm:
+        for cb in cbuf_refs:
+            cb[...] = jnp.zeros_like(cb)
     else:
-        cbuf_ref[...] = c0_ref[...]
-        xh1_ref[0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_ref[..., 0:ch]
-        xh2_ref[0, :, 1:1 + hgt, 1:1 + wid, ch:2 * ch] = h0_ref[..., ch:2 * ch]
+        cbuf_refs[0][...] = c0_ref[..., 0:lanes]
+        if n_cells > 2:
+            cbuf_refs[1][...] = jnp.zeros_like(cbuf_refs[1])
+            cbuf_refs[1][..., 0:ch] = c0_ref[..., 2 * ch:3 * ch]
+        xh_refs[0][0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_ref[..., 0:ch]
+        for k in range(1, n_cells):
+            xh_refs[k][0, :, 1:1 + hgt, 1:1 + wid, ch:2 * ch] = \
+                h0_ref[..., k * ch:(k + 1) * ch]
 
     def load_frame(t):
         # [nb, H, W] (W on lanes) -> [nb, H, W, 1] (W on sublanes): one
@@ -145,11 +175,11 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         fr = frames_ref[:, pl.ds(t, 1)].astype(jnp.float32)
         return fr.reshape(nb, hgt, wid, 1)
 
-    def cell_pass(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_lane0,
+    def cell_pass(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_ref, c_lane0,
                   also_ref=None, also_lane0=0):
         """One full cell update: conv(src) -> gates with c -> h into dst
-        (and optionally mirrored into ``also``, for h1 which feeds both
-        cell 1's next step and cell 2's current step)."""
+        (and optionally mirrored into ``also``, for the h that feeds both
+        this cell's next step and the cell above's current step)."""
         for ti in range(n_tiles):
             r0 = ti * tile
             acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
@@ -161,11 +191,11 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                                     w_ref[tap],
                                     preferred_element_type=jnp.float32)
             z = acc.reshape(nb, tile, wid, 4 * ch)
-            c_cur = cbuf_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch]
+            c_cur = c_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch]
             h_new, c_new = convlstm_gates(z, c_cur.astype(jnp.float32))
-            h_new = h_new.astype(xh1_ref.dtype)
-            cbuf_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch] = \
-                c_new.astype(cbuf_ref.dtype)
+            h_new = h_new.astype(xh_refs[0].dtype)
+            c_ref[:, r0:r0 + tile, :, c_lane0:c_lane0 + ch] = \
+                c_new.astype(c_ref.dtype)
             dst_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid,
                     dst_lane0:dst_lane0 + ch] = h_new
             if also_ref is not None:
@@ -173,9 +203,9 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
                          also_lane0:also_lane0 + ch] = h_new
 
     def head_pass(src_ref, t, x_dst_ref):
-        """3x3 head conv over h2 (lanes [ch:2ch] of src) -> prediction;
-        written to the output frame t_out slot and, for the autoregressive
-        feed, into lane ch of the next step's cell-1 input."""
+        """3x3 head conv over the top cell's h (lanes [ch:2ch] of src) ->
+        prediction; written to the output frame t_out slot and, for the
+        autoregressive feed, into lane ch of the next step's cell-1 input."""
         t_o = t - (t_in - 1)
         for ti in range(n_tiles):
             r0 = ti * tile
@@ -190,7 +220,7 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
             # minor-dim reshapes must stay in f32 (Mosaic); cast at the writes
             o3 = acc.reshape(nb, tile, wid, 1)
             x_dst_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid, ch:ch + 1] = \
-                o3.astype(xh1_ref.dtype)
+                o3.astype(xh_refs[0].dtype)
             # [nb, tile, W, 1] -> [nb, 1, tile, W] (W back onto lanes) for
             # the result; t_o is a traced output-frame index
             out_ref[:, pl.ds(t_o, 1), r0:r0 + tile, :] = \
@@ -200,27 +230,35 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         """Step t: buffers read from slot ``cur``, write to ``1 - cur``.
         ``cur`` is a static python int (the loop runs over step pairs)."""
         nxt = 1 - cur
-        src1, dst1 = xh1_ref.at[cur], xh1_ref.at[nxt]
-        src2, dst2 = xh2_ref.at[cur], xh2_ref.at[nxt]
+        srcs = [x.at[cur] for x in xh_refs]
+        dsts = [x.at[nxt] for x in xh_refs]
 
         # encode phase: overwrite the x lane with the observed frame
         @pl.when(t < t_in)
         def _():
-            fr = load_frame(t).astype(xh1_ref.dtype)
-            src1[:, 1:1 + hgt, 1:1 + wid, ch:ch + 1] = fr
+            fr = load_frame(t).astype(xh_refs[0].dtype)
+            srcs[0][:, 1:1 + hgt, 1:1 + wid, ch:ch + 1] = fr
 
         # cell 1: h1_new -> next cell-1 buffer (lanes 0:ch) AND the CURRENT
-        # cell-2 buffer (lanes 0:ch) — cell 2 consumes this step's h1
-        cell_pass(src1, dst1, 0, w1_ref, b1_ref, 0,
-                  also_ref=src2, also_lane0=0)
-        # cell 2: reads (h1_new | h2_old) from src2, h2_new -> next buffer
-        cell_pass(src2, dst2, ch, w2_ref, b2_ref, ch)
+        # cell-2 buffer (lanes 0:ch) — cell 2 consumes this step's h1.
+        # Mid cells mirror their h likewise into the cell above's buffer;
+        # the top cell only feeds its own next step (lanes ch:2ch).
+        for k in range(n_cells):
+            w_ref, b_ref = wb_refs[k]
+            c_ref, c_lane0 = c_slot[k]
+            dst_lane0 = 0 if k == 0 else ch
+            if k + 1 < n_cells:
+                cell_pass(srcs[k], dsts[k], dst_lane0, w_ref, b_ref,
+                          c_ref, c_lane0, also_ref=srcs[k + 1], also_lane0=0)
+            else:
+                cell_pass(srcs[k], dsts[k], dst_lane0, w_ref, b_ref,
+                          c_ref, c_lane0)
 
         # head (only once predictions start): prediction t_out slot + the
         # autoregressive x for step t+1
         @pl.when(t >= t_in - 1)
         def _():
-            head_pass(dst2, t, dst1)
+            head_pass(dsts[n_cells - 1], t, dsts[0])
 
     def pair_body(i, _):
         one_step(2 * i, 0)
@@ -232,17 +270,6 @@ def _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
         one_step(steps - 1, (steps - 1) % 2)
 
 
-def _rollout_body_warm(frames_ref, h0_ref, c0_ref, w1_ref, b1_ref, w2_ref,
-                       b2_ref, wh_ref, bh_ref, out_ref, xh1_ref, xh2_ref,
-                       cbuf_ref, **kw):
-    """Positional-ref adapter: pallas_call passes input refs in in_specs
-    order, so the warm variant's extra (h0, c0) inputs land here and are
-    forwarded to the shared body as keywords."""
-    _rollout_body(frames_ref, w1_ref, b1_ref, w2_ref, b2_ref, wh_ref, bh_ref,
-                  out_ref, xh1_ref, xh2_ref, cbuf_ref,
-                  h0_ref=h0_ref, c0_ref=c0_ref, **kw)
-
-
 def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     """Shared pallas_call scaffolding for the cold (h0/c0 None) and warm
     variants — one place owns block specs, scratch shapes, and VMEM policy.
@@ -251,32 +278,41 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     bool overrides — cross-platform ``jax.export`` lowering for TPU from a
     CPU-only host must pass False or the artifact silently captures the
     interpreter emulation instead of the Mosaic kernel."""
-    w1p, b1, w2p, b2, whp, bh = packed
+    n_cells = (len(packed) - 2) // 2
+    cell_wb, (whp, bh) = packed[:2 * n_cells], packed[2 * n_cells:]
     b, t_in, hgt, wid = frames.shape
-    ch = w2p.shape[1] // 2
+    ch = cell_wb[2].shape[1] // 2          # cell-2 kernel contracts 2*ch
     dtype = frames.dtype
     tile = _pick_tile(hgt)
     warm = h0 is not None
     nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize,
-                  warm)
+                  warm, n_cells)
     if nb < 1:
         raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
 
-    body_fn = _rollout_body_warm if warm else _rollout_body
-    body = functools.partial(body_fn, t_in=t_in, t_out=t_out, ch=ch,
-                             hgt=hgt, wid=wid, tile=tile, nb=nb)
+    body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
+                             hgt=hgt, wid=wid, tile=tile, nb=nb,
+                             n_cells=n_cells, warm=warm)
     lanes = 2 * ch
     grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
                                         lambda i: (i, 0, 0, 0),
                                         memory_space=pltpu.VMEM)
-    state_block = lambda: pl.BlockSpec((nb, hgt, wid, lanes),
+    state_block = lambda: pl.BlockSpec((nb, hgt, wid, n_cells * ch),
                                        lambda i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     in_specs = ([grid_block(t_in)]
                 + ([state_block(), state_block()] if warm else [])
-                + [full()] * 6)
+                + [full()] * len(packed))
     args = (frames,) + ((h0, c0) if warm else ()) + packed
+
+    # padded width rounded up to the 16-sublane tile: the per-step
+    # .at[slot] sub-ref slice requires tiling-aligned sublane extents
+    scratch = [pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype)
+               for _ in range(n_cells)]                    # xh a/b per cell
+    scratch.append(pltpu.VMEM((nb, hgt, wid, lanes), dtype))   # c1|c2
+    if n_cells > 2:
+        scratch.append(pltpu.VMEM((nb, hgt, wid, lanes), dtype))  # c3 (0:ch)
 
     return pl.pallas_call(
         body,
@@ -284,77 +320,78 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
         in_specs=in_specs,
         out_specs=grid_block(t_out),
         out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
-        scratch_shapes=[
-            # padded width rounded up to the 16-sublane tile: the per-step
-            # .at[slot] sub-ref slice requires tiling-aligned sublane extents
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh1 a/b
-            pltpu.VMEM((2, nb, hgt + 2, _wp(wid), lanes), dtype),  # xh2 a/b
-            pltpu.VMEM((nb, hgt, wid, lanes), dtype),              # c1|c2
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_interpret() if interpret is None else interpret,
     )(*args)
 
 
 @functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
-def _run_rollout(w1p, b1, w2p, b2, whp, bh, frames, t_out: int,
-                 interpret=None):
-    """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W]."""
-    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, None, None,
-                           t_out, interpret)
-
-
-@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
-def _run_rollout_warm(w1p, b1, w2p, b2, whp, bh, frames, h0, c0, t_out: int,
-                      interpret=None):
-    """Decode-only rollout from a warm recurrent state.
-
-    frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
-    frame); h0/c0: [B, H, W, 2*ch] packed (cell1 | cell2) hidden/cell state.
-    Runs t_in=1 so step 0 consumes the seed frame against the warm state and
-    the head emits from step 0 — exactly horizon=t_out free-running steps."""
-    return _launch_rollout((w1p, b1, w2p, b2, whp, bh), frames, h0, c0, t_out,
+def _run_rollout(frames, t_out: int, interpret=None, *packed):
+    """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W].
+    ``packed``: (w, b) per cell + (wh, bh), flat (``_pack_weights``)."""
+    return _launch_rollout(tuple(packed), frames, None, None, t_out,
                            interpret)
 
 
-def _pack_weights(cell1, cell2, head_kernel, head_bias, ch: int, dtype):
+@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
+def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None, *packed):
+    """Decode-only rollout from a warm recurrent state.
+
+    frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
+    frame); h0/c0: [B, H, W, n_cells*ch] packed (cell1 | ... | celln)
+    hidden/cell state. Runs t_in=1 so step 0 consumes the seed frame against
+    the warm state and the head emits from step 0 — exactly horizon=t_out
+    free-running steps."""
+    return _launch_rollout(tuple(packed), frames, h0, c0, t_out, interpret)
+
+
+def _cells_from_core(core):
+    """Cell params (``cell_0``..``cell_{n-1}``) from the forecaster core."""
+    from ..convlstm import ConvLSTMParams
+    n = sum(1 for k in core if k.startswith("cell_"))
+    return [ConvLSTMParams(core[f"cell_{i}"]["kernel"],
+                           core[f"cell_{i}"]["bias"]) for i in range(n)]
+
+
+def _pack_weights(cells, head_kernel, head_bias, ch: int, dtype):
     """Repack canonical forecaster params for the kernel's lane layout.
 
     cell-1 kernel [3,3,1+ch,4ch] contracts (h1 | x | zeros) lanes: rows
-    reordered h-first, x row at lane ch, zero rows to 2*ch. cell-2 kernel
-    [3,3,2ch,4ch] already matches (h1 | h2). Head [3,3,ch,1] -> [9, ch, 1]."""
-    k1 = cell1.kernel.astype(dtype)
+    reordered h-first, x row at lane ch, zero rows to 2*ch. Later cells'
+    kernels [3,3,2ch,4ch] already match (h_below | h_own). Head [3,3,ch,1]
+    -> [9, ch, 1]. Returns a flat tuple: (w, b) per cell + (wh, bh)."""
+    k1 = cells[0].kernel.astype(dtype)
     w1p = jnp.zeros((9, 2 * ch, 4 * ch), dtype)
     w1p = w1p.at[:, 0:ch].set(k1[:, :, 1:1 + ch].reshape(9, ch, 4 * ch))
     w1p = w1p.at[:, ch].set(k1[:, :, 0].reshape(9, 4 * ch))
-    w2p = cell2.kernel.astype(dtype).reshape(9, 2 * ch, 4 * ch)
-    whp = head_kernel.astype(dtype).reshape(9, ch, 1)
-    return (w1p, cell1.bias.astype(dtype).reshape(1, 4 * ch),
-            w2p, cell2.bias.astype(dtype).reshape(1, 4 * ch),
-            whp, head_bias.astype(dtype).reshape(1, 1))
+    packed = [w1p, cells[0].bias.astype(dtype).reshape(1, 4 * ch)]
+    for cell in cells[1:]:
+        packed.append(cell.kernel.astype(dtype).reshape(9, 2 * ch, 4 * ch))
+        packed.append(cell.bias.astype(dtype).reshape(1, 4 * ch))
+    packed.append(head_kernel.astype(dtype).reshape(9, ch, 1))
+    packed.append(head_bias.astype(dtype).reshape(1, 1))
+    return tuple(packed)
 
 
 def rollout_pallas(params, frames, t_out: int,
                    compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Free-running rollout via the VMEM-resident kernel.
 
-    ``params``: a ConvLSTMForecaster param pytree (2 equal-width cells + head,
-    models/forecaster.py); ``frames``: [B, T_in, 1, H, W] (NCHW like the
-    model); returns [B, t_out, 1, H, W] float32 — same contract as
+    ``params``: a ConvLSTMForecaster param pytree (2-3 equal-width cells +
+    head, models/forecaster.py); ``frames``: [B, T_in, 1, H, W] (NCHW like
+    the model); returns [B, t_out, 1, H, W] float32 — same contract as
     ``model.apply(params, frames)`` at inference."""
-    from ..convlstm import ConvLSTMParams
-
     core = params["params"]["core"]
-    cell1 = ConvLSTMParams(core["cell_0"]["kernel"], core["cell_0"]["bias"])
-    cell2 = ConvLSTMParams(core["cell_1"]["kernel"], core["cell_1"]["bias"])
-    ch = cell1.kernel.shape[-1] // 4
+    cells = _cells_from_core(core)
+    ch = cells[0].kernel.shape[-1] // 4
     b, t_in, c, hgt, wid = frames.shape
     assert c == 1, "rollout kernel supports 1-channel frames"
 
-    packed = _pack_weights(cell1, cell2, core["head"]["kernel"],
+    packed = _pack_weights(cells, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
     fr = frames[:, :, 0].astype(compute_dtype)          # [B, T_in, H, W]
-    out = _run_rollout(*packed, fr, t_out)
+    out = _run_rollout(fr, t_out, None, *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, t_out, 1, H, W]
 
 
@@ -367,24 +404,22 @@ def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
     input window from zeros, the kernel's VMEM state buffers are seeded from
     the carried stream state and every step is a decode step.
 
-    ``params``: ConvLSTMForecaster pytree (2 equal-width cells + head);
-    ``cells``: ``((h1, c1), (h2, c2))`` NHWC ``[B, H, W, ch]`` each;
+    ``params``: ConvLSTMForecaster pytree (2-3 equal-width cells + head);
+    ``cells``: ``((h1, c1), ..., (hn, cn))`` NHWC ``[B, H, W, ch]`` each;
     ``prev_out``: ``[B, H, W, C]`` — the stream's last emitted frame (the
     autoregressive input for the first step). Returns ``[B, horizon, 1, H, W]``
     float32 — same contract as ``StreamingForecaster._forecast_scan``
     (streaming.py), parity pinned in tests/test_pallas.py."""
-    from ..convlstm import ConvLSTMParams
-
     core = params["params"]["core"]
-    cell1 = ConvLSTMParams(core["cell_0"]["kernel"], core["cell_0"]["bias"])
-    cell2 = ConvLSTMParams(core["cell_1"]["kernel"], core["cell_1"]["bias"])
-    ch = cell1.kernel.shape[-1] // 4
+    cell_params = _cells_from_core(core)
+    ch = cell_params[0].kernel.shape[-1] // 4
     assert prev_out.shape[-1] == 1, "rollout kernel supports 1-channel frames"
+    assert len(cells) == len(cell_params)
 
-    packed = _pack_weights(cell1, cell2, core["head"]["kernel"],
+    packed = _pack_weights(cell_params, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
-    h0 = jnp.concatenate([cells[0][0], cells[1][0]], -1).astype(compute_dtype)
-    c0 = jnp.concatenate([cells[0][1], cells[1][1]], -1).astype(compute_dtype)
+    h0 = jnp.concatenate([hc[0] for hc in cells], -1).astype(compute_dtype)
+    c0 = jnp.concatenate([hc[1] for hc in cells], -1).astype(compute_dtype)
     fr = jnp.transpose(prev_out, (0, 3, 1, 2)).astype(compute_dtype)
-    out = _run_rollout_warm(*packed, fr, h0, c0, horizon, interpret)
+    out = _run_rollout_warm(fr, h0, c0, horizon, interpret, *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, horizon, 1, H, W]

@@ -103,7 +103,7 @@ def build_predict_fn(config: Config, checkpoint_path: str,
                 if not fits:
                     raise ValueError(
                         "rollout_impl 'pallas' does not support this shape "
-                        "family (needs 2 equal-width cells, 3x3 kernels, "
+                        "family (needs 2-3 equal-width cells, 3x3 kernels, "
                         "1-channel frames, lanes tiling) — use 'xla'")
                 return rollout_pallas(params, frames, t_out, cdtype)
         else:

@@ -171,9 +171,9 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
         if tpu_kernel == "require" and not pallas_horizons:
             raise ValueError(
                 "tpu_kernel='require' but the Pallas rollout kernel supports "
-                "none of the requested horizons at this shape (needs 2 equal-"
-                "width cells with 2*ch % 128 == 0, 3x3 kernels, 1-channel "
-                "frames, H/W % 8 == 0, VMEM budget)")
+                "none of the requested horizons at this shape (needs 2-3 "
+                "equal-width cells with 2*ch % 128 == 0, 3x3 kernels, "
+                "1-channel frames, H/W % 8 == 0, VMEM budget)")
 
     header = json.dumps({
         "format": 1, "height": height, "width": width,

@@ -170,7 +170,7 @@ class StreamingForecaster:
     def pallas_forecast_fits(self, batch: int, height: int, width: int,
                              horizon: int) -> bool:
         """Whether the warm-start Pallas rollout kernel supports this shape
-        family (2 equal-width cells, 3x3 kernels, 1-channel frames, lane
+        family (2-3 equal-width cells, 3x3 kernels, 1-channel frames, lane
         tiling, VMEM budget — ops/pallas/rollout_kernel.py)."""
         from .ops.pallas.rollout_kernel import rollout_pallas_fits
         return rollout_pallas_fits(
@@ -230,7 +230,7 @@ class StreamingForecaster:
             if self._rollout_impl == "pallas" and not fits:
                 raise ValueError(
                     "rollout_impl 'pallas' does not support this shape family "
-                    "(needs 2 equal-width cells, 3x3 kernels, 1-channel "
+                    "(needs 2-3 equal-width cells, 3x3 kernels, 1-channel "
                     "frames, lanes tiling) — use 'xla'")
             if fits and (jax.default_backend() == "tpu"
                          or self._rollout_impl == "pallas"):

@@ -219,7 +219,70 @@ def test_rollout_fits_gate():
     # warm (streaming) variant at the serving shape: supported
     assert rollout_pallas_fits(1, 30, 4, 1, 128, 128, (64, 64), 3, 2,
                                warm=True)
-    # unequal widths / 3 layers / multi-channel input: fall back
+    # 3 equal-width cells (the flagship nowcast_128 family): supported
+    assert rollout_pallas_fits(5, 20, 4, 1, 128, 128, (64, 64, 64), 3, 2)
+    assert rollout_pallas_fits(1, 30, 1, 1, 128, 128, (64, 64, 64), 3, 2,
+                               warm=True)
+    # unequal widths / 4 layers / multi-channel input: fall back
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 32), 3, 2)
-    assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64, 64), 3, 2)
+    assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64,) * 4, 3, 2)
+    assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64, 32), 3, 2)
     assert not rollout_pallas_fits(5, 10, 4, 3, 128, 128, (64, 64), 3, 2)
+
+
+def test_rollout_kernel_three_cells_matches_forecaster():
+    """3-cell cold-start kernel == 3-cell ConvLSTMForecaster free rollout
+    (the flagship nowcast_128 family), interpret mode, f32 exactness."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+
+    rng = np.random.default_rng(11)
+    b, t_in, t_out, size, ch = 2, 3, 4, 8, 8
+    frames = jnp.asarray(rng.random((b, t_in, 1, size, size)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(ch, ch, ch), input_frames=t_in,
+                               output_frames=t_out)
+    params = model.init(jax.random.PRNGKey(2), frames)
+    ref = model.apply(params, frames)
+    out = rollout_pallas(params, frames, t_out, compute_dtype=jnp.float32)
+    assert out.shape == ref.shape == (b, t_out, 1, size, size)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("horizon", [1, 3, 4])  # min/odd/even step paths
+def test_rollout_kernel_three_cell_warm_start(horizon):
+    """3-cell warm-start kernel == the streaming XLA forecast scan branched
+    from the same live state, interpret mode, f32."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+        rollout_pallas_from_state)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic"},
+        "model": {"family": "forecaster", "hidden_dims": [8, 8, 8],
+                  "input_frames": 3, "output_frames": 4,
+                  "rollout_impl": "xla"},
+        "training": {"batch_size": 8, "epochs": 1},
+        "output": {"output_dir": "/tmp/unused_warm_rollout3"},
+    })
+    rng = np.random.default_rng(13)
+    b, hw = 2, 8
+    frames = jnp.asarray(rng.random((b, 3, 1, hw, hw)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(8, 8, 8), input_frames=3,
+                               output_frames=4)
+    variables = model.init(jax.random.PRNGKey(6), frames)
+
+    sf = StreamingForecaster(cfg, variables)
+    state = sf.init_state(b, hw, hw)
+    state, _ = sf.observe_window(state, frames)     # warm, non-trivial state
+    ref = sf.forecast(state, horizon)               # XLA scan branch
+
+    out = rollout_pallas_from_state(variables, state.cells, state.prev_out,
+                                    horizon, compute_dtype=jnp.float32)
+    assert out.shape == ref.shape == (b, horizon, 1, hw, hw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
