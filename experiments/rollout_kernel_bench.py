@@ -29,15 +29,25 @@ BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
 
 
 def main():
+    # --cells 3 [--t-out N] benches the flagship 3-cell nowcast_128 family
+    # (hidden (64,64,64), default 20-out) instead of the bench serving shape
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--t-out", type=int, default=0)
+    args = ap.parse_args()
+    hidden = (64,) * args.cells
+    t_out = args.t_out or (20 if args.cells == 3 else T_OUT)
+
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE)),
                          jnp.float32)
-    model = ConvLSTMForecaster(hidden_dims=HIDDEN, input_frames=T_IN,
-                               output_frames=T_OUT, dtype=jnp.bfloat16)
+    model = ConvLSTMForecaster(hidden_dims=hidden, input_frames=T_IN,
+                               output_frames=t_out, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), frames)
 
     xla_fn = jax.jit(lambda p, x: model.apply(p, x))
-    pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, T_OUT, jnp.bfloat16))
+    pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16))
 
     # numerics first (bf16 tolerance)
     ref = xla_fn(params, frames)
@@ -50,7 +60,7 @@ def main():
         res = benchmark_chained(lambda _: fn(params, frames), None,
                                 fetch=lambda o: float(o[0, 0, 0, 0, 0]),
                                 chain=10, iters=10)
-        fps = BATCH * T_OUT / res["p50"]
+        fps = BATCH * t_out / res["p50"]
         print(f"{name}: p50 {res['p50'] * 1e3:.2f} ms/rollout "
               f"({fps:.0f} frames/s)", flush=True)
 

@@ -56,6 +56,16 @@ from .convlstm_kernel import _interpret
 # the (8, 128)-tile minimum suggests, and Mosaic fails loudly if exceeded
 _VMEM_LIMIT = 110 * 1024 * 1024
 
+# Cell counts whose Mosaic lowering has been compiled AND timed on real TPU
+# hardware (docs/design.md rollout table). ``auto`` dispatch (predict,
+# streaming forecast, artifact export with tpu_kernel=auto) only selects the
+# kernel for these; explicit ``rollout_impl: pallas`` / ``tpu_kernel=require``
+# may opt into any family ``rollout_pallas_fits`` accepts. The 3-cell variant
+# is parity-exact in interpret mode but its warm-start state blocks carry
+# 3*ch lanes (not a 128 multiple at ch=64) — flip to (2, 3) once validated
+# on-device.
+_MOSAIC_VALIDATED_CELLS = (2,)
+
 
 def _pick_tile(h: int) -> int:
     for cand in (16, 8, 4, 2, 1):
@@ -75,7 +85,8 @@ def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
     wp = _wp(w)
     tile = _pick_tile(h)
     xh = 2 * n_cells * nb * (h + 2) * wp * lanes * itemsize  # ping-pong pairs
-    cb = (1 + (n_cells > 2)) * nb * h * w * lanes * itemsize
+    # c1|c2 pack one 2ch-lane buffer; a 3rd cell adds a ch-lane buffer
+    cb = nb * h * w * (lanes + (ch if n_cells > 2 else 0)) * itemsize
     acc = nb * tile * w * 4 * ch * 4
     wts = n_cells * 9 * lanes * 4 * ch * itemsize
     io = nb * (t_in + 2 * t_out) * h * w * itemsize
@@ -100,11 +111,17 @@ def _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm=False,
 
 def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
                         hidden_dims, kernel_size: int, itemsize: int,
-                        warm: bool = False) -> bool:
-    """Static dispatch check for the supported shape family + VMEM budget."""
+                        warm: bool = False, auto: bool = False) -> bool:
+    """Static dispatch check for the supported shape family + VMEM budget.
+
+    ``auto=True`` (implicit selection paths) additionally restricts to the
+    on-device-validated ``_MOSAIC_VALIDATED_CELLS`` families; explicit user
+    opt-in (``rollout_impl: pallas``) passes ``auto=False``."""
     n_cells = len(hidden_dims)
     if n_cells not in (2, 3) or any(d != hidden_dims[0]
                                     for d in hidden_dims[1:]):
+        return False
+    if auto and n_cells not in _MOSAIC_VALIDATED_CELLS:
         return False
     ch = hidden_dims[0]
     if c != 1 or kernel_size != 3 or t_in < 1 or t_out < 1:
@@ -161,8 +178,7 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
     else:
         cbuf_refs[0][...] = c0_ref[..., 0:lanes]
         if n_cells > 2:
-            cbuf_refs[1][...] = jnp.zeros_like(cbuf_refs[1])
-            cbuf_refs[1][..., 0:ch] = c0_ref[..., 2 * ch:3 * ch]
+            cbuf_refs[1][...] = c0_ref[..., 2 * ch:3 * ch]
         xh_refs[0][0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_ref[..., 0:ch]
         for k in range(1, n_cells):
             xh_refs[k][0, :, 1:1 + hgt, 1:1 + wid, ch:2 * ch] = \
@@ -312,7 +328,7 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
                for _ in range(n_cells)]                    # xh a/b per cell
     scratch.append(pltpu.VMEM((nb, hgt, wid, lanes), dtype))   # c1|c2
     if n_cells > 2:
-        scratch.append(pltpu.VMEM((nb, hgt, wid, lanes), dtype))  # c3 (0:ch)
+        scratch.append(pltpu.VMEM((nb, hgt, wid, ch), dtype))     # c3
 
     return pl.pallas_call(
         body,

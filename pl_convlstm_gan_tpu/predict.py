@@ -96,7 +96,8 @@ def build_predict_fn(config: Config, checkpoint_path: str,
                 fits = rollout_pallas_fits(
                     t_in, t_out, b, c, h, w,
                     tuple(config.model.hidden_dims),
-                    config.model.kernel_size, jnp.dtype(cdtype).itemsize)
+                    config.model.kernel_size, jnp.dtype(cdtype).itemsize,
+                    auto=(impl == "auto"))
                 if impl == "auto" and (jax.default_backend() != "tpu"
                                        or not fits):
                     return model.apply(params, frames)

@@ -116,8 +116,9 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
     TPU-only program at the pinned ``batch_size`` (Mosaic custom calls need
     a static grid, so these can't be batch-polymorphic) — the server picks
     it on TPU when the request batch matches and falls back to the XLA
-    program otherwise. ``"require"`` raises if no horizon could get a kernel
-    program; ``"off"`` skips them."""
+    program otherwise. ``"auto"`` embeds kernels only for on-device-validated
+    cell counts; ``"require"`` opts into any supported family and raises if
+    no horizon could get a kernel program; ``"off"`` skips them."""
     import json
     import struct
 
@@ -161,7 +162,8 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
         static_spec = (tuple(tuple(pair) for pair in state_tpl.cells),
                        state_tpl.prev_out)
         for h in horizons:
-            if not sf.pallas_forecast_fits(batch_size, height, width, h):
+            if not sf.pallas_forecast_fits(batch_size, height, width, h,
+                                           auto=(tpu_kernel == "auto")):
                 continue
             data = _jax_export.export(
                 jax.jit(sf.export_forecast_pallas_fn(h)),

@@ -168,14 +168,16 @@ class StreamingForecaster:
         return fn
 
     def pallas_forecast_fits(self, batch: int, height: int, width: int,
-                             horizon: int) -> bool:
+                             horizon: int, auto: bool = False) -> bool:
         """Whether the warm-start Pallas rollout kernel supports this shape
         family (2-3 equal-width cells, 3x3 kernels, 1-channel frames, lane
-        tiling, VMEM budget — ops/pallas/rollout_kernel.py)."""
+        tiling, VMEM budget — ops/pallas/rollout_kernel.py). ``auto=True``
+        restricts to the on-device-validated cell counts."""
         from .ops.pallas.rollout_kernel import rollout_pallas_fits
         return rollout_pallas_fits(
             1, horizon, batch, self._channels, height, width, self._hidden,
-            self._kernel_size, jnp.dtype(self._cdtype).itemsize, warm=True)
+            self._kernel_size, jnp.dtype(self._cdtype).itemsize, warm=True,
+            auto=auto)
 
     def export_forecast_pallas_fn(self, horizon: int):
         """TPU-only variant of ``export_forecast_fn``: the warm-start
@@ -226,7 +228,8 @@ class StreamingForecaster:
         if self._rollout_impl in ("pallas", "auto"):
             from .ops.pallas.rollout_kernel import rollout_pallas_from_state
             b, h, w, _ = state.prev_out.shape
-            fits = self.pallas_forecast_fits(b, h, w, horizon)
+            fits = self.pallas_forecast_fits(
+                b, h, w, horizon, auto=(self._rollout_impl == "auto"))
             if self._rollout_impl == "pallas" and not fits:
                 raise ValueError(
                     "rollout_impl 'pallas' does not support this shape family "
