@@ -52,6 +52,14 @@ def _config() -> Config:
 def main():
     from pl_convlstm_gan_tpu.streaming import StreamingForecaster
 
+    # --cells 3 runs the flagship 3-cell nowcast_128 state geometry instead
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cells", type=int, default=2, choices=(2, 3))
+    args = ap.parse_args()
+    global HIDDEN
+    HIDDEN = (64,) * args.cells
+
     cfg = _config()
     rng = np.random.default_rng(0)
     frames = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE)), jnp.float32)

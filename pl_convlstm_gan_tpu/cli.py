@@ -24,7 +24,7 @@ def main():
                              "direct path to a .yaml file")
     parser.add_argument("--mode",
                         choices=("train", "eval", "predict", "export",
-                                 "export-stream"),
+                                 "export-stream", "stream"),
                         default="train",
                         help="train; eval: restore a checkpoint and report "
                              "test-split metrics; predict: restore and write "
@@ -32,7 +32,10 @@ def main():
                              "serving artifact (StableHLO, batch-polymorphic, "
                              "TPU+CPU) from a checkpoint; export-stream: the "
                              "stateful streaming-inference surface (observe + "
-                             "forecast programs) as one artifact "
+                             "forecast programs) as one artifact; stream: run "
+                             "stateful inference over an input frame series — "
+                             "assimilate frame-by-frame, write per-frame "
+                             "nowcasts + horizon forecasts "
                              "(entries the reference lacks)")
     parser.add_argument("--checkpoint", type=str, default=None,
                         help="checkpoint dir for --mode eval/predict "
@@ -55,6 +58,8 @@ def main():
                         help="export-stream mode: comma-separated forecast "
                              "horizons to export (e.g. '10,30,60' -> one "
                              "forecast program per horizon in the artifact); "
+                             "stream mode: horizons to forecast after "
+                             "assimilating the input series; "
                              "overrides --output-frames")
     parser.add_argument("--tpu-kernel", type=str, default="auto",
                         choices=("auto", "require", "off"),
@@ -104,6 +109,16 @@ def main():
         if config.model.family in ("forecaster", "gan"):
             return SequenceTrainer(config=config)
         return Trainer(config=config)
+
+    def parse_horizons():
+        """--horizons, falling back to --output-frames / the config horizon."""
+        if args.horizons:
+            try:
+                return tuple(int(h) for h in args.horizons.split(","))
+            except ValueError:
+                raise SystemExit(f"--horizons must be comma-separated ints, "
+                                 f"got {args.horizons!r}")
+        return (args.output_frames or config.model.output_frames,)
 
     if args.mode == "eval":
         trainer = make_trainer()
@@ -197,14 +212,7 @@ def main():
         else:
             ds = make_trainer().setup_data()
             hgt, wid = np.asarray(ds[0][0]).shape[-2:]
-        if args.horizons:
-            try:
-                horizons = tuple(int(h) for h in args.horizons.split(","))
-            except ValueError:
-                raise SystemExit(f"--horizons must be comma-separated ints, "
-                                 f"got {args.horizons!r}")
-        else:
-            horizons = (args.output_frames or config.model.output_frames,)
+        horizons = parse_horizons()
         blob = export_streaming(config, ckpt, int(hgt), int(wid),
                                 horizons=horizons,
                                 tpu_kernel=args.tpu_kernel)
@@ -217,6 +225,61 @@ def main():
         print(f"Exported streaming artifact ({len(blob)} bytes, observe + "
               f"forecast{list(horizons)}, pallas{pallas_hs}, "
               f"batch-polymorphic, tpu+cpu) to {out_path}")
+    elif args.mode == "stream":
+        import numpy as np
+        if config.model.family not in ("forecaster", "gan"):
+            raise SystemExit("stream mode needs a sequence family "
+                             "(forecaster/gan)")
+        if not args.input:
+            raise SystemExit("--mode stream requires --input: frames "
+                             "[T,C,H,W] (one stream) or [B,T,C,H,W] "
+                             "(B concurrent streams)")
+        data = np.load(args.input)
+        frames = (data["frames"]
+                  if isinstance(data, np.lib.npyio.NpzFile) else data)
+        frames = np.asarray(frames, np.float32)
+        if frames.ndim == 4:
+            frames = frames[None]
+        if frames.ndim != 5:
+            raise SystemExit(f"stream input must be [T,C,H,W] or "
+                             f"[B,T,C,H,W], got shape {frames.shape}")
+        b, t, _, hgt, wid = frames.shape
+        horizons = parse_horizons()
+        ckpt = args.checkpoint or os.path.join(config.output.output_dir,
+                                               "best_model")
+        out_path = args.output or os.path.join(config.output.output_dir,
+                                               "stream_out.npz")
+        # a .jaxexport checkpoint runs the AOT streaming artifact (no model
+        # code — the serving-process path); a checkpoint dir runs the live
+        # StreamingForecaster (which auto-selects the TPU rollout kernel)
+        if ckpt.endswith(".jaxexport"):
+            from pl_convlstm_gan_tpu.serve import load_streaming_exported
+            with open(ckpt, "rb") as f:
+                server = load_streaming_exported(f.read())
+            missing = [h for h in horizons if h not in server.horizons]
+            if missing:
+                raise SystemExit(
+                    f"artifact only has forecast programs for horizons "
+                    f"{list(server.horizons)} — missing {missing} "
+                    f"(re-export with --horizons)")
+            state = server.init_state(b)
+            observe, forecast = server.observe, server.forecast
+        else:
+            from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+            sf = StreamingForecaster.from_checkpoint(config, ckpt)
+            state = sf.init_state(b, int(hgt), int(wid))
+            observe, forecast = sf.observe, sf.forecast
+        nowcasts = []
+        for i in range(t):
+            state, nc = observe(state, frames[:, i])
+            nowcasts.append(np.asarray(nc))
+        out = {"nowcasts": np.stack(nowcasts, axis=1)}
+        for h in horizons:
+            out[f"forecast_{h}"] = np.asarray(forecast(state, h))
+        np.savez(out_path, **out)
+        shapes = {k: v.shape for k, v in out.items()}
+        print(f"Streamed {t} frames x {b} stream(s): {shapes} "
+              f"saved to {out_path}")
     else:
         make_trainer().train()
 

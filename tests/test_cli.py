@@ -168,3 +168,60 @@ def test_cli_export_stream_mode(tmp_path):
     assert multi.forecast(state2, 4).shape == (1, 4, 1, 16, 16)
     with pytest.raises(ValueError, match="not in exported set"):
         multi.forecast(state2, 3)
+
+
+def test_cli_stream_mode(tmp_path):
+    """stream mode: assimilate an input frame series frame-by-frame and write
+    per-frame nowcasts + horizon forecasts — from a live checkpoint AND from
+    an AOT streaming artifact, which must agree (same programs)."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    frames = np.random.default_rng(3).random((2, 4, 1, 16, 16)).astype(
+        np.float32)
+    np.save(tmp_path / "series.npy", frames)
+
+    _run_main(["--config", "ci_smoke_seq", "--mode", "stream",
+               "--input", str(tmp_path / "series.npy"),
+               "--horizons", "2,4",
+               "--output", str(tmp_path / "live.npz")], str(tmp_path))
+    live = np.load(tmp_path / "live.npz")
+    assert live["nowcasts"].shape == (2, 4, 1, 16, 16)
+    assert live["forecast_2"].shape == (2, 2, 1, 16, 16)
+    assert live["forecast_4"].shape == (2, 4, 1, 16, 16)
+    assert all(np.isfinite(live[k]).all() for k in live.files)
+
+    # same series through the exported artifact (serving-process path)
+    art = tmp_path / "stream.jaxexport"
+    _run_main(["--config", "ci_smoke_seq", "--mode", "export-stream",
+               "--output", str(art), "--horizons", "2,4"], str(tmp_path))
+    _run_main(["--config", "ci_smoke_seq", "--mode", "stream",
+               "--input", str(tmp_path / "series.npy"),
+               "--checkpoint", str(art), "--horizons", "2,4",
+               "--output", str(tmp_path / "aot.npz")], str(tmp_path))
+    aot = np.load(tmp_path / "aot.npz")
+    for k in live.files:
+        np.testing.assert_allclose(aot[k], live[k], atol=1e-5, rtol=1e-5)
+
+    # a horizon the artifact lacks is a clear error, not a silent retrace
+    with pytest.raises(SystemExit, match="missing"):
+        _run_main(["--config", "ci_smoke_seq", "--mode", "stream",
+                   "--input", str(tmp_path / "series.npy"),
+                   "--checkpoint", str(art), "--horizons", "3"],
+                  str(tmp_path))
+
+
+def test_cli_stream_single_series_and_requires_input(tmp_path):
+    """[T,C,H,W] input is treated as one stream; missing --input errors."""
+    import numpy as np
+    _run_main(["--config", "ci_smoke_seq"], str(tmp_path))
+    series = np.random.default_rng(4).random((3, 1, 16, 16)).astype(np.float32)
+    np.save(tmp_path / "one.npy", series)
+    _run_main(["--config", "ci_smoke_seq", "--mode", "stream",
+               "--input", str(tmp_path / "one.npy"),
+               "--output", str(tmp_path / "one_out.npz")], str(tmp_path))
+    out = np.load(tmp_path / "one_out.npz")
+    assert out["nowcasts"].shape == (1, 3, 1, 16, 16)
+    assert out["forecast_3"].shape == (1, 3, 1, 16, 16)  # config horizon
+    with pytest.raises(SystemExit, match="requires --input"):
+        _run_main(["--config", "ci_smoke_seq", "--mode", "stream"],
+                  str(tmp_path))
