@@ -120,6 +120,13 @@ def main():
                                  f"got {args.horizons!r}")
         return (args.output_frames or config.model.output_frames,)
 
+    def load_frames(path):
+        """Frames array from a .npy, or a .npz with a 'frames' key."""
+        import numpy as np
+        data = np.load(path)
+        return (data["frames"]
+                if isinstance(data, np.lib.npyio.NpzFile) else data)
+
     if args.mode == "eval":
         trainer = make_trainer()
         ckpt = args.checkpoint or os.path.join(config.output.output_dir,
@@ -167,10 +174,7 @@ def main():
         lu_channels = 0
         if config.model.family in ("forecaster", "gan"):
             if args.input:  # sample input fixes the non-batch shapes
-                data = np.load(args.input)
-                frames = (data["frames"]
-                          if isinstance(data, np.lib.npyio.NpzFile) else data)
-                example = (frames[:1],)
+                example = (load_frames(args.input)[:1],)
             else:
                 # derive the static T/C/H/W from the configured dataset itself
                 # (works for synthetic AND on-disk frames sources — a
@@ -205,10 +209,7 @@ def main():
         out_path = args.output or os.path.join(config.output.output_dir,
                                                "stream.jaxexport")
         if args.input:  # sample fixes the static H/W
-            data = np.load(args.input)
-            frames = (data["frames"]
-                      if isinstance(data, np.lib.npyio.NpzFile) else data)
-            hgt, wid = frames.shape[-2:]
+            hgt, wid = load_frames(args.input).shape[-2:]
         else:
             ds = make_trainer().setup_data()
             hgt, wid = np.asarray(ds[0][0]).shape[-2:]
@@ -218,10 +219,8 @@ def main():
                                 tpu_kernel=args.tpu_kernel)
         with open(out_path, "wb") as f:
             f.write(blob)
-        import json as _json
-        hdr_len = int.from_bytes(blob[8:12], "little")
-        pallas_hs = _json.loads(blob[12:12 + hdr_len]).get(
-            "pallas_horizons", [])
+        from pl_convlstm_gan_tpu.serve import parse_stream_header
+        pallas_hs = parse_stream_header(blob)[0].get("pallas_horizons", [])
         print(f"Exported streaming artifact ({len(blob)} bytes, observe + "
               f"forecast{list(horizons)}, pallas{pallas_hs}, "
               f"batch-polymorphic, tpu+cpu) to {out_path}")
@@ -234,16 +233,13 @@ def main():
             raise SystemExit("--mode stream requires --input: frames "
                              "[T,C,H,W] (one stream) or [B,T,C,H,W] "
                              "(B concurrent streams)")
-        data = np.load(args.input)
-        frames = (data["frames"]
-                  if isinstance(data, np.lib.npyio.NpzFile) else data)
-        frames = np.asarray(frames, np.float32)
+        frames = np.asarray(load_frames(args.input), np.float32)
         if frames.ndim == 4:
             frames = frames[None]
         if frames.ndim != 5:
             raise SystemExit(f"stream input must be [T,C,H,W] or "
                              f"[B,T,C,H,W], got shape {frames.shape}")
-        b, t, _, hgt, wid = frames.shape
+        b, t, chans, hgt, wid = frames.shape
         horizons = parse_horizons()
         ckpt = args.checkpoint or os.path.join(config.output.output_dir,
                                                "best_model")
@@ -262,6 +258,12 @@ def main():
                     f"artifact only has forecast programs for horizons "
                     f"{list(server.horizons)} — missing {missing} "
                     f"(re-export with --horizons)")
+            want = tuple(server._meta[k]
+                         for k in ("channels", "height", "width"))
+            if (chans, hgt, wid) != want:
+                raise SystemExit(
+                    f"input frames are C,H,W={chans, hgt, wid} but the "
+                    f"artifact was exported at {want}")
             state = server.init_state(b)
             observe, forecast = server.observe, server.forecast
         else:
@@ -269,11 +271,14 @@ def main():
             sf = StreamingForecaster.from_checkpoint(config, ckpt)
             state = sf.init_state(b, int(hgt), int(wid))
             observe, forecast = sf.observe, sf.forecast
+        # keep results on device inside the loop — a per-frame host fetch
+        # would serialize dispatch (26 ms/call through the TPU tunnel)
         nowcasts = []
         for i in range(t):
             state, nc = observe(state, frames[:, i])
-            nowcasts.append(np.asarray(nc))
-        out = {"nowcasts": np.stack(nowcasts, axis=1)}
+            nowcasts.append(nc)
+        out = {"nowcasts": np.stack([np.asarray(n) for n in nowcasts],
+                                    axis=1)}
         for h in horizons:
             out[f"forecast_{h}"] = np.asarray(forecast(state, h))
         np.savez(out_path, **out)

@@ -93,6 +93,9 @@ def load_exported(blob: bytes) -> Callable:
 # ---------------------------------------------------------------------------
 
 _STREAM_MAGIC = b"PLCGSTR1"
+# header format: 1 = observe + forecast_<h> entries; 2 adds OPTIONAL TPU-only
+# forecast_<h>_pallas entries (readers must tolerate unknown-suffix entries)
+_STREAM_FORMAT = 2
 
 
 def export_streaming(config: Config, checkpoint_path: str, height: int,
@@ -178,7 +181,8 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
                 "1-channel frames, H/W % 8 == 0, VMEM budget)")
 
     header = json.dumps({
-        "format": 1, "height": height, "width": width,
+        "format": _STREAM_FORMAT if pallas_horizons else 1,
+        "height": height, "width": width,
         "horizons": horizons,
         "pallas_horizons": pallas_horizons, "pallas_batch": batch_size,
         "batch_polymorphic": bool(batch_polymorphic),
@@ -220,19 +224,34 @@ class StreamingServer:
 
         On TPU, when the artifact carries a Pallas-kernel program for this
         horizon and the request batch matches its pinned batch size, that
-        program serves the call; otherwise the portable XLA program does."""
+        program serves the call; otherwise the portable XLA program does.
+        A kernel program that fails at runtime (e.g. a Mosaic compile error
+        on an unvalidated family exported with ``tpu_kernel='require'``) is
+        dropped with a warning and the portable program serves from then on —
+        an embedded optimization must never take down serving."""
         if horizon not in self._forecasts:
             raise ValueError(f"horizon {horizon} not in exported set "
                              f"{self.horizons}")
         pfn = self._pallas_forecasts.get(horizon)
         if (pfn is not None and jax.default_backend() == "tpu"
                 and state[1].shape[0] == self._meta.get("pallas_batch")):
-            return pfn(state)
+            try:
+                return pfn(state)
+            except Exception as e:  # fall back to the portable program
+                import warnings
+                warnings.warn(
+                    f"embedded TPU kernel program for horizon {horizon} "
+                    f"failed ({type(e).__name__}: {e}); serving the portable "
+                    f"XLA program instead")
+                del self._pallas_forecasts[horizon]
         return self._forecasts[horizon](state)
 
 
-def load_streaming_exported(blob: bytes) -> StreamingServer:
-    """Deserialize an ``export_streaming`` artifact."""
+def parse_stream_header(blob: bytes) -> Tuple[dict, int]:
+    """Validate magic/format and return ``(header_meta, payload_offset)``.
+
+    The single owner of the artifact wire layout — the loader and any
+    header-only consumer (e.g. the CLI's export summary) share it."""
     import json
     import struct
 
@@ -242,7 +261,16 @@ def load_streaming_exported(blob: bytes) -> StreamingServer:
     (hlen,) = struct.unpack("<I", blob[off:off + 4])
     off += 4
     meta = json.loads(blob[off:off + hlen].decode())
-    off += hlen
+    fmt = meta.get("format", 1)
+    if fmt > _STREAM_FORMAT:
+        raise ValueError(f"streaming artifact format {fmt} is newer than "
+                         f"this release supports ({_STREAM_FORMAT})")
+    return meta, off + hlen
+
+
+def load_streaming_exported(blob: bytes) -> StreamingServer:
+    """Deserialize an ``export_streaming`` artifact."""
+    meta, off = parse_stream_header(blob)
     fns = {}
     for name, length in meta["entries"]:
         fns[name] = jax.jit(
@@ -252,8 +280,13 @@ def load_streaming_exported(blob: bytes) -> StreamingServer:
     for n, f in fns.items():
         if not n.startswith("forecast_"):
             continue
-        if n.endswith("_pallas"):
-            pallas[int(n.split("_")[1])] = f
-        else:
-            forecasts[int(n.split("_", 1)[1])] = f
+        parts = n.split("_")
+        if not parts[1].isdigit():   # unknown future entry kind: skip
+            continue
+        h = int(parts[1])
+        if len(parts) == 2:
+            forecasts[h] = f
+        elif parts[2] == "pallas":
+            pallas[h] = f
+        # any other suffix: a newer optional program kind — ignore
     return StreamingServer(meta, fns["observe"], forecasts, pallas)

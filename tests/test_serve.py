@@ -192,3 +192,46 @@ def test_streaming_export_pallas_entries(tmp_path):
     off_server = load_streaming_exported(blob_off)
     assert off_server._meta["pallas_horizons"] == []
     assert not off_server._pallas_forecasts
+
+
+def test_streaming_artifact_format_versioning(tmp_path):
+    """Artifacts with kernel programs mark format 2; XLA-only stay format 1;
+    a future format fails loudly; unknown optional entry kinds are skipped."""
+    import json
+    import struct
+
+    import pytest
+    from pl_convlstm_gan_tpu.serve import (_STREAM_MAGIC, export_streaming,
+                                           load_streaming_exported,
+                                           parse_stream_header)
+
+    config = load_config("ci_smoke_seq")
+    _, _, _, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob = export_streaming(config, ckpt, 16, 16, horizons=(2,))
+    meta, _ = parse_stream_header(blob)
+    assert meta["format"] == 1            # no kernel entries -> format 1
+
+    # a newer format must be rejected, not mis-parsed
+    meta2 = dict(meta, format=99)
+    hdr = json.dumps(meta2).encode()
+    forged = (_STREAM_MAGIC + struct.pack("<I", len(hdr)) + hdr
+              + blob[len(_STREAM_MAGIC) + 4 + len(
+                  json.dumps(meta).encode()):])
+    with pytest.raises(ValueError, match="newer"):
+        load_streaming_exported(forged)
+
+    # an unknown optional per-horizon entry kind is ignored, not fatal:
+    # rename the forecast_2 entry to forecast_2_futurekind in the header
+    # and keep its payload — the loader must skip it and still serve observe
+    entries = [[n if n != "forecast_2" else "forecast_2_futurekind", ln]
+               for n, ln in meta["entries"]]
+    meta3 = dict(meta, entries=entries)
+    hdr3 = json.dumps(meta3).encode()
+    payload = blob[len(_STREAM_MAGIC) + 4 + len(json.dumps(meta).encode()):]
+    forged3 = _STREAM_MAGIC + struct.pack("<I", len(hdr3)) + hdr3 + payload
+    server = load_streaming_exported(forged3)
+    assert server.horizons == ()          # the only forecast got skipped
+    state = server.init_state(1)
+    state, now = server.observe(
+        state, np.zeros((1, 1, 16, 16), np.float32))
+    assert now.shape == (1, 1, 16, 16)
