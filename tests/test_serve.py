@@ -235,3 +235,39 @@ def test_streaming_artifact_format_versioning(tmp_path):
     state, now = server.observe(
         state, np.zeros((1, 1, 16, 16), np.float32))
     assert now.shape == (1, 1, 16, 16)
+
+
+def test_streaming_server_kernel_runtime_fallback(monkeypatch):
+    """A kernel program that raises at runtime must not take down serving:
+    the server warns, drops it, and the portable XLA program answers — this
+    call and every later one (the broken program is forgotten)."""
+    import warnings
+
+    from pl_convlstm_gan_tpu.serve import StreamingServer
+
+    calls = {"pallas": 0, "xla": 0}
+
+    def bad_pallas(state):
+        calls["pallas"] += 1
+        raise RuntimeError("mosaic lowering rejected")
+
+    def good_xla(state):
+        calls["xla"] += 1
+        return np.zeros((1, 2, 1, 8, 8), np.float32)
+
+    meta = {"height": 8, "width": 8, "channels": 1, "hidden": [8, 8],
+            "dtype": "float32", "pallas_batch": 1}
+    server = StreamingServer(meta, lambda s, f: (s, f), {2: good_xla},
+                             {2: bad_pallas})
+    state = server.init_state(1)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = server.forecast(state, 2)
+    assert out.shape == (1, 2, 1, 8, 8)
+    assert calls == {"pallas": 1, "xla": 1}
+    assert any("portable XLA program" in str(w.message) for w in caught)
+
+    server.forecast(state, 2)            # broken program is not retried
+    assert calls == {"pallas": 1, "xla": 2}
