@@ -23,7 +23,6 @@ import jax.numpy as jnp
 
 from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
 from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
-from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
 
 BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
 
@@ -56,12 +55,28 @@ def main():
     print(f"max |pallas - xla| = {err:.3e} (bf16 rollout)", flush=True)
     assert err < 0.1, "rollout kernel numerics diverged"
 
-    for name, fn in (("xla scan", xla_fn), ("pallas multi-step", pl_fn)):
-        res = benchmark_chained(lambda _: fn(params, frames), None,
-                                fetch=lambda o: float(o[0, 0, 0, 0, 0]),
-                                chain=10, iters=10)
-        fps = BATCH * t_out / res["p50"]
-        print(f"{name}: p50 {res['p50'] * 1e3:.2f} ms/rollout "
+    # the project timing protocol for small-program A/Bs (CLAUDE.md): warm
+    # EVERY contender >= 10 calls + fetch (per-program dispatch-path warmup
+    # spans whole early batches), then INTERLEAVE timed batches and take
+    # per-program medians so launch-to-launch drift hits both equally
+    import time
+    fns = (("xla scan", xla_fn), ("pallas multi-step", pl_fn))
+    for _, fn in fns:
+        for _ in range(10):
+            o = fn(params, frames)
+        float(o[0, 0, 0, 0, 0])
+    times = {name: [] for name, _ in fns}
+    for _ in range(10):
+        for name, fn in fns:
+            start = time.perf_counter()
+            for _ in range(10):
+                o = fn(params, frames)
+            float(o[0, 0, 0, 0, 0])
+            times[name].append((time.perf_counter() - start) / 10)
+    for name, _ in fns:
+        p50 = float(np.median(times[name]))
+        fps = BATCH * t_out / p50
+        print(f"{name}: p50 {p50 * 1e3:.2f} ms/rollout "
               f"({fps:.0f} frames/s)", flush=True)
 
 

@@ -82,7 +82,15 @@ class ConvLSTMCell(nn.Module):
             constrain = None
             if self.tp_mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(self.tp_mesh, P(None, None, None, self.tp_axis))
+                # UNCONSTRAINED batch dim: the anchor must only pin the
+                # channel axis to 'model' — P(None, ...) on dim 0 would force
+                # the batch REPLICATED across the data axis and silently undo
+                # DP inside every scan step (each device recomputing the full
+                # global batch). UNCONSTRAINED lets the partitioner keep
+                # whatever batch sharding the caller established.
+                sh = NamedSharding(
+                    self.tp_mesh,
+                    P(P.UNCONSTRAINED, None, None, self.tp_axis))
                 constrain = lambda a: jax.lax.with_sharding_constraint(a, sh)
             return convlstm_step_tp(params, x.astype(dtype), h.astype(dtype),
                                     c.astype(dtype), self.tp_shards, constrain)

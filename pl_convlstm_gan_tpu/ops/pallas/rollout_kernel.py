@@ -363,11 +363,20 @@ def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None, *packed):
 
 
 def _cells_from_core(core):
-    """Cell params (``cell_0``..``cell_{n-1}``) from the forecaster core."""
+    """Cell params (``cell_0``..``cell_{n-1}``) from the forecaster core.
+
+    Validates the family loudly: direct callers (experiments, serving code)
+    can bypass ``rollout_pallas_fits``, and an unsupported tree would
+    otherwise produce finite-but-wrong forecasts."""
     from ..convlstm import ConvLSTMParams
     n = sum(1 for k in core if k.startswith("cell_"))
-    return [ConvLSTMParams(core[f"cell_{i}"]["kernel"],
-                           core[f"cell_{i}"]["bias"]) for i in range(n)]
+    cells = [ConvLSTMParams(core[f"cell_{i}"]["kernel"],
+                            core[f"cell_{i}"]["bias"]) for i in range(n)]
+    widths = [c.kernel.shape[-1] // 4 for c in cells]
+    if n not in (2, 3) or any(w != widths[0] for w in widths):
+        raise ValueError(f"rollout kernel supports 2-3 equal-width cells, "
+                         f"got {n} cells with widths {widths}")
+    return cells
 
 
 def _pack_weights(cells, head_kernel, head_bias, ch: int, dtype):

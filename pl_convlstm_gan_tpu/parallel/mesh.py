@@ -64,6 +64,13 @@ def make_mesh_2d(data_axis_size: int = 0, model_axis_size: int = 1,
         raise ValueError(f"Requested {d}x{m} devices, have {len(devices)}")
     if m < 1 or d < 1:
         raise ValueError(f"Invalid mesh shape {d}x{m}")
+    if data_axis_size == 0 and len(devices) % m:
+        # defaulted data axis with a non-dividing model axis would silently
+        # idle len(devices) - d*m chips for the whole run
+        raise ValueError(
+            f"model_axis {m} does not divide the {len(devices)} available "
+            f"devices — {len(devices) - d * m} would sit idle; set "
+            f"mesh.data_axis explicitly to accept that")
     grid = np.asarray(devices[:d * m]).reshape(d, m)
     return Mesh(grid, tuple(axis_names))
 

@@ -76,7 +76,9 @@ class SequenceTrainer:
             if self.data_parallel:
                 print(f"Data parallelism over {self.n_data} devices")
         self.n_devices = self.mesh.devices.size
-        # batches are placed sharded-on-'data' whenever a mesh is in play
+        # batches are placed sharded on the (configurable) data axis whenever
+        # a mesh is in play
+        self.batch_axis = mcfg.axis_name
         self.batch_sharded = self.data_parallel or self.tensor_parallel
 
     # ------------------------------------------------------------------ data
@@ -117,7 +119,8 @@ class SequenceTrainer:
             it = batch_iterator(dataset, bs, shuffle=shuffle,
                                 seed=self.config.training.seed, drop_last=True,
                                 epoch=epoch)
-        sharding = batch_sharding(self.mesh) if self.batch_sharded else None
+        sharding = (batch_sharding(self.mesh, self.batch_axis)
+                    if self.batch_sharded else None)
         return prefetch_to_device(it, size=2, sharding=sharding)
 
     # ----------------------------------------------------------------- model
@@ -222,7 +225,8 @@ class SequenceTrainer:
         state_sh = tp_state_shardings(state, self.mesh, axis)
         state = jax.device_put(state, state_sh)
         rep = NamedSharding(self.mesh, P())
-        return state, (state_sh, batch_sharding(self.mesh), rep)
+        return state, (state_sh,
+                       batch_sharding(self.mesh, self.batch_axis), rep)
 
     def _tp_layout(self, tree, to_canonical: bool):
         """Convert every cell kernel/bias leaf (params AND adam moments)
@@ -253,7 +257,8 @@ class SequenceTrainer:
         from ..data.pipeline import eval_batches, put_global_batch
         from .steps import aggregate_sequence_eval
         params = self.state.gen_params if self.is_gan else self.state.params
-        sharding = batch_sharding(self.mesh) if self.batch_sharded else None
+        sharding = (batch_sharding(self.mesh, self.batch_axis)
+                    if self.batch_sharded else None)
         acc = []
         for batch, n_valid in eval_batches(dataset,
                                            self.config.training.batch_size):

@@ -134,7 +134,8 @@ class Trainer:
             it = batch_iterator(dataset, bs, shuffle=shuffle,
                                 seed=self.config.training.seed, drop_last=True,
                                 epoch=epoch)
-        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        sharding = (batch_sharding(self.mesh, self.config.mesh.axis_name)
+                    if self.data_parallel else None)
         return prefetch_to_device(it, size=2, sharding=sharding)
 
     # ----------------------------------------------------------------- model
@@ -230,7 +231,8 @@ class Trainer:
         from ..data.pipeline import eval_batches, put_global_batch
         from .steps import aggregate_generator_eval
         params = self.state.params
-        sharding = batch_sharding(self.mesh) if self.data_parallel else None
+        sharding = (batch_sharding(self.mesh, self.config.mesh.axis_name)
+                    if self.data_parallel else None)
         acc = []
         for batch, n_valid in eval_batches(dataset,
                                            self.config.training.batch_size):

@@ -314,3 +314,23 @@ def test_tp_cell_tags_save_z_anchor(rng):
         lambda p, x_, h_, c_: convlstm_step_tp(shard_cell_params(p, 2),
                                                x_, h_, c_, 2))(params, x, h, c))
     assert "convlstm_z" in jaxpr
+
+
+def test_tp_forecaster_keeps_batch_sharded():
+    """The TP channel anchor must not undo data parallelism: a batch entering
+    the DPxTP program sharded on 'data' leaves with that sharding intact.
+    (Round-3 review: the anchor was P(None, ..., 'model'), which forced every
+    scan step's activations batch-REPLICATED across the data axis — each
+    data-row recomputed the full global batch. The fix uses an UNCONSTRAINED
+    batch dim; this pins the repaired propagation end-to-end.)"""
+    mesh = make_mesh_2d(4, 2)
+    ref_model, inputs, _ = _init_forecaster((8, 8))
+    params = ref_model.init(jax.random.PRNGKey(0), inputs)
+    tp_model = ConvLSTMForecaster(hidden_dims=(8, 8), input_frames=2,
+                                  output_frames=3, tp_shards=2, tp_mesh=mesh)
+    tp_params = jax.device_put(tp_permute_tree(params, 2),
+                               tp_state_shardings(params, mesh))
+    out = jax.jit(tp_model.apply)(
+        tp_params, jax.device_put(inputs, batch_sharding(mesh)))
+    assert out.sharding.spec[0] == "data", (
+        f"batch dim lost its 'data' sharding: {out.sharding.spec}")
