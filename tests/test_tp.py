@@ -334,3 +334,26 @@ def test_tp_forecaster_keeps_batch_sharded():
         tp_params, jax.device_put(inputs, batch_sharding(mesh)))
     assert out.sharding.spec[0] == "data", (
         f"batch dim lost its 'data' sharding: {out.sharding.spec}")
+
+
+def test_tp_custom_axis_names(tmp_path):
+    """Custom mesh axis names flow through the whole DPxTP path — batch
+    placement used to hardcode 'data' and crashed any renamed mesh."""
+    from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
+    cfg = _tp_config(tmp_path)
+    cfg.mesh.axis_name = "batch"
+    cfg.mesh.model_axis_name = "tensor"
+    cfg.training.epochs = 1
+    tr = SequenceTrainer(config=cfg)
+    assert dict(tr.mesh.shape) == {"batch": 4, "tensor": 2}
+    history = tr.train()
+    assert np.isfinite(history["total_loss"][-1])
+
+
+def test_mesh_2d_rejects_silent_idle_devices():
+    """A defaulted data axis with a non-dividing model_axis must raise, not
+    quietly leave remainder chips idle; an explicit data_axis opts in."""
+    with pytest.raises(ValueError, match="idle"):
+        make_mesh_2d(0, 3)                 # 8 devices, 3 does not divide
+    mesh = make_mesh_2d(2, 3)              # explicit 2x3: 6 of 8, accepted
+    assert mesh.devices.size == 6
