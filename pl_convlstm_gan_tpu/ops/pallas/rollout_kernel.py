@@ -41,7 +41,6 @@ supported family — parity pinned in tests/test_pallas.py.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
