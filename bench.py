@@ -248,9 +248,9 @@ def bench_secondary(iters: int) -> dict:
         out["stream_forecast30_p50_s"] = res["p50"]
         if jax.default_backend() == "tpu" and rollout_pallas_fits(
                 1, 30, 1, 1, 128, 128, (64, 64), 3, 2, warm=True):
-            full_vars = {"params": {"core": sf._vars["params"]}}
+            core = sf._vars["params"]
             pk = jax.jit(lambda c, p: rollout_pallas_from_state(
-                full_vars, c, p, 30, jnp.bfloat16))
+                core, c, p, 30, jnp.bfloat16))
             res = benchmark_chained(
                 lambda _: pk(warm.cells, warm.prev_out), None,
                 fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10,

@@ -88,7 +88,7 @@ def main():
           f"p50 {bres['p50'] * 1e3:.2f} ms", flush=True)
 
     # 3. branched forecasts: XLA scan vs warm-start Pallas kernel
-    full_vars = {"params": {"core": sf._vars["params"]}}
+    core_vars = sf._vars["params"]
     itemsize = jnp.dtype(jnp.bfloat16).itemsize
     for horizon in (T_OUT, 30):
         ref = sf._jit_forecast(sf._vars, warm, horizon=horizon)
@@ -101,7 +101,7 @@ def main():
                 1, horizon, BATCH, 1, SIZE, SIZE, HIDDEN, 3, itemsize,
                 warm=True):
             pl_fn = jax.jit(lambda c, p, h=horizon: rollout_pallas_from_state(
-                full_vars, c, p, h, jnp.bfloat16))
+                core_vars, c, p, h, jnp.bfloat16))
             out = pl_fn(warm.cells, warm.prev_out)
             err = float(jnp.abs(out - ref).max())
             pres = benchmark_chained(

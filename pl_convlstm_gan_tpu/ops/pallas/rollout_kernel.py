@@ -419,7 +419,7 @@ def rollout_pallas(params, frames, t_out: int,
     return out[:, :, None].astype(jnp.float32)          # [B, t_out, 1, H, W]
 
 
-def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
+def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
                               compute_dtype=jnp.bfloat16,
                               interpret=None) -> jnp.ndarray:
     """Free-running rollout branched from a WARM recurrent state.
@@ -428,13 +428,14 @@ def rollout_pallas_from_state(params, cells, prev_out, horizon: int,
     input window from zeros, the kernel's VMEM state buffers are seeded from
     the carried stream state and every step is a decode step.
 
-    ``params``: ConvLSTMForecaster pytree (2-3 equal-width cells + head);
+    ``core``: the ConvLSTMForecaster scan-core param mapping (the
+    ``params['params']['core']`` subtree of a full checkpoint pytree —
+    ``cell_<i>``/``head`` entries; streaming callers hold exactly this);
     ``cells``: ``((h1, c1), ..., (hn, cn))`` NHWC ``[B, H, W, ch]`` each;
     ``prev_out``: ``[B, H, W, C]`` — the stream's last emitted frame (the
     autoregressive input for the first step). Returns ``[B, horizon, 1, H, W]``
     float32 — same contract as ``StreamingForecaster._forecast_scan``
     (streaming.py), parity pinned in tests/test_pallas.py."""
-    core = params["params"]["core"]
     cell_params = _cells_from_core(core)
     ch = cell_params[0].kernel.shape[-1] // 4
     assert prev_out.shape[-1] == 1, "rollout kernel supports 1-channel frames"

@@ -93,6 +93,14 @@ def build_predict_fn(config: Config, checkpoint_path: str,
 
             def fn(frames):
                 b, t_in, c, h, w = frames.shape
+                # the kernel encodes whatever window it is given, so enforce
+                # the model's input_frames contract here — the XLA path gets
+                # the same check from ConvLSTMForecaster's assert, and the
+                # two backends must reject wrong-length windows identically
+                if t_in != config.model.input_frames:
+                    raise ValueError(
+                        f"expected a {config.model.input_frames}-frame input "
+                        f"window (model.input_frames), got {t_in}")
                 fits = rollout_pallas_fits(
                     t_in, t_out, b, c, h, w,
                     tuple(config.model.hidden_dims),

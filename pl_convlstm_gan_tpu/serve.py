@@ -202,6 +202,7 @@ class StreamingServer:
         self._observe = observe_fn
         self._forecasts = forecast_fns
         self._pallas_forecasts = pallas_forecast_fns or {}
+        self._pallas_proven = set()   # horizons whose kernel ran OK once
 
     @property
     def horizons(self) -> Tuple[int, ...]:
@@ -225,10 +226,13 @@ class StreamingServer:
         On TPU, when the artifact carries a Pallas-kernel program for this
         horizon and the request batch matches its pinned batch size, that
         program serves the call; otherwise the portable XLA program does.
-        A kernel program that fails at runtime (e.g. a Mosaic compile error
-        on an unvalidated family exported with ``tpu_kernel='require'``) is
-        dropped with a warning and the portable program serves from then on —
-        an embedded optimization must never take down serving."""
+        A kernel program that fails on its FIRST use (e.g. a Mosaic compile
+        error on an unvalidated family exported with ``tpu_kernel='require'``)
+        is dropped with a warning and the portable program serves that horizon
+        from then on. A program that has already served successfully is kept:
+        a later failure (transient RESOURCE_EXHAUSTED under concurrent load,
+        a preempted device) falls back for that request only — an embedded
+        optimization must never take down OR permanently degrade serving."""
         if horizon not in self._forecasts:
             raise ValueError(f"horizon {horizon} not in exported set "
                              f"{self.horizons}")
@@ -236,14 +240,22 @@ class StreamingServer:
         if (pfn is not None and jax.default_backend() == "tpu"
                 and state[1].shape[0] == self._meta.get("pallas_batch")):
             try:
-                return pfn(state)
+                out = pfn(state)
+                self._pallas_proven.add(horizon)
+                return out
             except Exception as e:  # fall back to the portable program
                 import warnings
+                if horizon in self._pallas_proven:
+                    scope = "for this request"
+                else:
+                    scope = "from now on"
+                    # pop, not del: two threads hitting the same broken
+                    # horizon must not raise KeyError inside the handler
+                    self._pallas_forecasts.pop(horizon, None)
                 warnings.warn(
                     f"embedded TPU kernel program for horizon {horizon} "
                     f"failed ({type(e).__name__}: {e}); serving the portable "
-                    f"XLA program instead")
-                del self._pallas_forecasts[horizon]
+                    f"XLA program {scope}")
         return self._forecasts[horizon](state)
 
 
@@ -258,9 +270,17 @@ def parse_stream_header(blob: bytes) -> Tuple[dict, int]:
     if blob[:len(_STREAM_MAGIC)] != _STREAM_MAGIC:
         raise ValueError("not a streaming serving artifact")
     off = len(_STREAM_MAGIC)
+    if len(blob) < off + 4:
+        raise ValueError("truncated streaming artifact (no header length)")
     (hlen,) = struct.unpack("<I", blob[off:off + 4])
     off += 4
-    meta = json.loads(blob[off:off + hlen].decode())
+    raw = blob[off:off + hlen]
+    if len(raw) < hlen:
+        raise ValueError("truncated streaming artifact (header cut short)")
+    try:
+        meta = json.loads(raw.decode())
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"corrupt streaming artifact header: {e}") from e
     fmt = meta.get("format", 1)
     if fmt > _STREAM_FORMAT:
         raise ValueError(f"streaming artifact format {fmt} is newer than "

@@ -189,7 +189,7 @@ class StreamingForecaster:
         def fn(state_tuple):
             cells, prev = state_tuple
             return rollout_pallas_from_state(
-                {"params": {"core": self._vars["params"]}}, tuple(cells),
+                self._vars["params"], tuple(cells),
                 prev, horizon, self._cdtype, interpret=False)
         return fn
 
@@ -243,8 +243,7 @@ class StreamingForecaster:
                     self._jit_forecast_pallas = jax.jit(
                         lambda core, cells, prev, horizon:
                         rollout_pallas_from_state(
-                            {"params": {"core": core}}, cells, prev, horizon,
-                            self._cdtype),
+                            core, cells, prev, horizon, self._cdtype),
                         static_argnames="horizon")
                 return self._jit_forecast_pallas(
                     self._vars["params"], state.cells, state.prev_out,

@@ -12,19 +12,24 @@ import jax
 import numpy as np
 
 
+def _cpu_is_primary(selected: str) -> bool:
+    """True when the FIRST entry of a JAX platforms list is cpu.
+
+    Only the primary entry decides cache policy: "cpu,tpu" runs on CPU,
+    while "tpu,cpu" / "axon,cpu" select the accelerator with CPU as a
+    fallback — those runs still want the warm persistent compile cache."""
+    return selected.lower().split(",")[0].strip() == "cpu"
+
+
 def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
     """Enable the persistent XLA compilation cache — first run pays the
     (tunnel-bound, minutes-long) compile, reruns start warm. Call BEFORE
     anything touches the jax backend. No-op on CPU, where AOT cache entries
     are machine-feature sensitive."""
     # CPU may be selected by the env var OR jax.config (the reliable route in
-    # this image, per CLAUDE.md) — honor both; either may hold a comma list
-    # ("cpu,tpu") so check membership per entry, not whole-string equality
+    # this image, per CLAUDE.md); jax.config, when set, overrides the env var.
     configured = str(getattr(jax.config, "jax_platforms", None) or "")
-    platforms = [p.strip() for src in (os.environ.get("JAX_PLATFORMS", ""),
-                                       configured)
-                 for p in src.lower().split(",")]
-    if "cpu" in platforms:
+    if _cpu_is_primary(configured or os.environ.get("JAX_PLATFORMS", "")):
         return
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser(cache_dir))

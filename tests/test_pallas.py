@@ -205,7 +205,8 @@ def test_rollout_kernel_warm_start_matches_streaming_scan(horizon):
     state, _ = sf.observe_window(state, frames)     # warm, non-trivial state
     ref = sf.forecast(state, horizon)               # XLA scan branch
 
-    out = rollout_pallas_from_state(variables, state.cells, state.prev_out,
+    out = rollout_pallas_from_state(variables["params"]["core"],
+                                    state.cells, state.prev_out,
                                     horizon, compute_dtype=jnp.float32)
     assert out.shape == ref.shape == (b, horizon, 1, hw, hw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
@@ -287,7 +288,8 @@ def test_rollout_kernel_three_cell_warm_start(horizon):
     state, _ = sf.observe_window(state, frames)     # warm, non-trivial state
     ref = sf.forecast(state, horizon)               # XLA scan branch
 
-    out = rollout_pallas_from_state(variables, state.cells, state.prev_out,
+    out = rollout_pallas_from_state(variables["params"]["core"],
+                                    state.cells, state.prev_out,
                                     horizon, compute_dtype=jnp.float32)
     assert out.shape == ref.shape == (b, horizon, 1, hw, hw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),

@@ -86,3 +86,10 @@ def test_predictor_pallas_rollout_selectable(tmp_path, rng):
     out = load_predictor(cfg, ckpt)(frames)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # wrong-length windows are rejected on the kernel path too — the model's
+    # input_frames contract must not be backend-dependent
+    import pytest
+    bad = jnp.asarray(rng.random((1, 3, 1, 8, 8)).astype(np.float32))
+    with pytest.raises(ValueError, match="input window"):
+        load_predictor(cfg, ckpt)(bad)

@@ -271,3 +271,73 @@ def test_streaming_server_kernel_runtime_fallback(monkeypatch):
 
     server.forecast(state, 2)            # broken program is not retried
     assert calls == {"pallas": 1, "xla": 2}
+
+
+def test_parse_stream_header_corrupt_blobs():
+    """Truncated or header-corrupt artifacts raise the documented ValueError,
+    never raw struct/json tracebacks (the CLI relies on this for clear
+    errors on interrupted copies)."""
+    import json
+    import struct
+
+    import pytest
+    from pl_convlstm_gan_tpu.serve import _STREAM_MAGIC, parse_stream_header
+
+    with pytest.raises(ValueError, match="not a streaming"):
+        parse_stream_header(b"\x00" * 16)
+    # cut before the header-length word
+    with pytest.raises(ValueError, match="truncated"):
+        parse_stream_header(_STREAM_MAGIC + b"\x01")
+    # header length promises more bytes than the blob holds
+    with pytest.raises(ValueError, match="truncated"):
+        parse_stream_header(_STREAM_MAGIC + struct.pack("<I", 100) + b"{}")
+    # header present but not valid JSON
+    bad = b"not json at all!"
+    with pytest.raises(ValueError, match="corrupt"):
+        parse_stream_header(_STREAM_MAGIC + struct.pack("<I", len(bad)) + bad)
+    # sanity: a well-formed header still parses
+    hdr = json.dumps({"format": 1, "entries": []}).encode()
+    meta, off = parse_stream_header(
+        _STREAM_MAGIC + struct.pack("<I", len(hdr)) + hdr)
+    assert meta["format"] == 1 and off == len(_STREAM_MAGIC) + 4 + len(hdr)
+
+
+def test_streaming_server_kernel_transient_failure_kept(monkeypatch):
+    """A kernel program that has already served successfully is NOT dropped
+    on a later (transient) failure: that request falls back to the portable
+    program, the next request uses the kernel again."""
+    import warnings
+
+    from pl_convlstm_gan_tpu.serve import StreamingServer
+
+    calls = {"pallas": 0, "xla": 0}
+    fail_next = {"flag": False}
+
+    def flaky_pallas(state):
+        calls["pallas"] += 1
+        if fail_next["flag"]:
+            fail_next["flag"] = False
+            raise RuntimeError("transient RESOURCE_EXHAUSTED")
+        return np.ones((1, 2, 1, 8, 8), np.float32)
+
+    def good_xla(state):
+        calls["xla"] += 1
+        return np.zeros((1, 2, 1, 8, 8), np.float32)
+
+    meta = {"height": 8, "width": 8, "channels": 1, "hidden": [8, 8],
+            "dtype": "float32", "pallas_batch": 1}
+    server = StreamingServer(meta, lambda s, f: (s, f), {2: good_xla},
+                             {2: flaky_pallas})
+    state = server.init_state(1)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+
+    assert float(server.forecast(state, 2)[0, 0, 0, 0, 0]) == 1.0   # proven
+    fail_next["flag"] = True
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = server.forecast(state, 2)               # transient failure
+    assert float(out[0, 0, 0, 0, 0]) == 0.0           # served by XLA
+    assert any("for this request" in str(w.message) for w in caught)
+    # kernel program retained -> next request uses it again
+    assert float(server.forecast(state, 2)[0, 0, 0, 0, 0]) == 1.0
+    assert calls == {"pallas": 3, "xla": 1}

@@ -94,3 +94,16 @@ def test_log_compiled_cost_prints(capsys):
     out = capsys.readouterr().out
     assert out.startswith("[cost] toy step:")
     assert "MB accessed" in out
+
+
+def test_compile_cache_cpu_primary_only():
+    """Cache policy keys off the PRIMARY platform entry: 'axon,cpu' (TPU
+    with CPU fallback) must keep the persistent cache; 'cpu,...' disables."""
+    from pl_convlstm_gan_tpu.utils.profiling import _cpu_is_primary
+
+    assert _cpu_is_primary("cpu")
+    assert _cpu_is_primary("CPU , tpu")
+    assert _cpu_is_primary("cpu,axon")
+    assert not _cpu_is_primary("axon,cpu")
+    assert not _cpu_is_primary("tpu,cpu")
+    assert not _cpu_is_primary("")
