@@ -10,10 +10,51 @@ import argparse
 import os
 
 
+def _probe_backend(timeout_s: float) -> bool:
+    """True when jax backend init succeeds in a KILLABLE subprocess — the
+    in-process equivalent blocks forever when the TPU tunnel is down."""
+    import subprocess
+    import sys
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _require_reachable_backend(timeout_s: float = 240.0) -> None:
+    """Fail FAST with an actionable message when the accelerator backend
+    cannot come up. With the TPU tunnel down, the first in-process backend
+    touch blocks forever in a silent connect-retry loop — a user launching a
+    training run deserves an error, not an unexplained hang. Probes in a
+    killable subprocess; skipped when CPU is the primary platform (tests,
+    local runs) or when ``PLCG_NO_BACKEND_PROBE=1`` (wait for the backend
+    indefinitely, the pre-probe behavior)."""
+    from pl_convlstm_gan_tpu.utils.profiling import _cpu_is_primary
+    if os.environ.get("PLCG_NO_BACKEND_PROBE") == "1":
+        return
+    import jax
+    configured = str(getattr(jax.config, "jax_platforms", None) or "")
+    if configured and _cpu_is_primary(configured):
+        return   # jax.config CPU route: axon never initializes (conftest)
+    if (_cpu_is_primary(os.environ.get("JAX_PLATFORMS", ""))
+            and not os.environ.get("PALLAS_AXON_POOL_IPS")):
+        return   # env CPU route is only hang-proof without the axon pool var
+    if not _probe_backend(timeout_s):
+        raise SystemExit(
+            "accelerator backend unreachable (TPU tunnel down?). Fix the "
+            "device connection, run on CPU with JAX_PLATFORMS=cpu (also "
+            "unset PALLAS_AXON_POOL_IPS if set), or set "
+            "PLCG_NO_BACKEND_PROBE=1 to wait for the backend indefinitely.")
+
+
 def main():
     # persistent XLA compile cache — must run before the backend is touched
     from pl_convlstm_gan_tpu.utils.profiling import setup_compile_cache
     setup_compile_cache()
+    _require_reachable_backend()
     from pl_convlstm_gan_tpu.config import load_config
     from pl_convlstm_gan_tpu.train.trainer import Trainer
     from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer

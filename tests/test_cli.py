@@ -225,3 +225,30 @@ def test_cli_stream_single_series_and_requires_input(tmp_path):
     with pytest.raises(SystemExit, match="requires --input"):
         _run_main(["--config", "ci_smoke_seq", "--mode", "stream"],
                   str(tmp_path))
+
+
+def test_backend_probe_fails_fast(monkeypatch):
+    """With a non-CPU platform and an unreachable backend, the CLI exits
+    with an actionable message instead of hanging in the axon connect-retry
+    loop; the probe is skipped under PLCG_NO_BACKEND_PROBE=1 and on the
+    jax.config CPU route (how this very test process runs)."""
+    from pl_convlstm_gan_tpu import cli
+    from pl_convlstm_gan_tpu.utils import profiling
+
+    def boom(timeout_s):
+        raise AssertionError("probe must be skipped")
+
+    # this test process forces CPU via jax.config (conftest) -> no probe
+    monkeypatch.setattr(cli, "_probe_backend", boom)
+    cli._require_reachable_backend()
+
+    # non-CPU platform + dead backend -> SystemExit, not a hang
+    monkeypatch.setattr(profiling, "_cpu_is_primary", lambda s: False)
+    monkeypatch.setattr(cli, "_probe_backend", lambda timeout_s: False)
+    with pytest.raises(SystemExit, match="unreachable"):
+        cli._require_reachable_backend()
+
+    # explicit opt-out wins over everything
+    monkeypatch.setenv("PLCG_NO_BACKEND_PROBE", "1")
+    monkeypatch.setattr(cli, "_probe_backend", boom)
+    cli._require_reachable_backend()
