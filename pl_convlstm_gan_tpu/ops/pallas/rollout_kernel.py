@@ -60,9 +60,9 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 # streaming forecast, artifact export with tpu_kernel=auto) only selects the
 # kernel for these; explicit ``rollout_impl: pallas`` / ``tpu_kernel=require``
 # may opt into any family ``rollout_pallas_fits`` accepts. The 3-cell variant
-# is parity-exact in interpret mode but its warm-start state blocks carry
-# 3*ch lanes (not a 128 multiple at ch=64) — flip to (2, 3) once validated
-# on-device.
+# is parity-exact in interpret mode and its warm-start state is lane-padded
+# to the 128 tile so it uses only layout/slice patterns the 2-cell path
+# validated — flip to (2, 3) once compiled + timed on-device.
 _MOSAIC_VALIDATED_CELLS = (2,)
 
 
@@ -89,8 +89,9 @@ def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
     acc = nb * tile * w * 4 * ch * 4
     wts = n_cells * 9 * lanes * 4 * ch * itemsize
     io = nb * (t_in + 2 * t_out) * h * w * itemsize
-    if warm:  # the packed (h0, c0) seed inputs also live in VMEM
-        io += 2 * nb * h * w * n_cells * ch * itemsize
+    if warm:  # the packed (h0, c0) seeds live in VMEM, lane-padded to 128
+        seed_lanes = -((-n_cells * ch) // 128) * 128
+        io += 2 * nb * h * w * seed_lanes * itemsize
     return xh + cb + acc + wts + io
 
 
@@ -312,7 +313,7 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
                                         lambda i: (i, 0, 0, 0),
                                         memory_space=pltpu.VMEM)
-    state_block = lambda: pl.BlockSpec((nb, hgt, wid, n_cells * ch),
+    state_block = lambda: pl.BlockSpec((nb, hgt, wid, h0.shape[-1]),
                                        lambda i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -354,8 +355,8 @@ def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None, *packed):
     """Decode-only rollout from a warm recurrent state.
 
     frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
-    frame); h0/c0: [B, H, W, n_cells*ch] packed (cell1 | ... | celln)
-    hidden/cell state. Runs t_in=1 so step 0 consumes the seed frame against
+    frame); h0/c0: [B, H, W, lanes] packed (cell1 | ... | celln) hidden/cell
+    state, lane-padded up to a 128 multiple (pad lanes are never read). Runs t_in=1 so step 0 consumes the seed frame against
     the warm state and the head emits from step 0 — exactly horizon=t_out
     free-running steps."""
     return _launch_rollout(tuple(packed), frames, h0, c0, t_out, interpret)
@@ -445,6 +446,13 @@ def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
                            core["head"]["bias"], ch, compute_dtype)
     h0 = jnp.concatenate([hc[0] for hc in cells], -1).astype(compute_dtype)
     c0 = jnp.concatenate([hc[1] for hc in cells], -1).astype(compute_dtype)
+    # pad the packed lane dim up to the 128-lane tile (3 cells x 64ch = 192):
+    # the kernel never reads the pad lanes, and a tile-aligned minor dim keeps
+    # the state block in the Mosaic layout family the 2-cell path validated
+    pad = -h0.shape[-1] % 128
+    if pad:
+        widths = [(0, 0)] * 3 + [(0, pad)]
+        h0, c0 = jnp.pad(h0, widths), jnp.pad(c0, widths)
     fr = jnp.transpose(prev_out, (0, 3, 1, 2)).astype(compute_dtype)
     out = _run_rollout_warm(fr, h0, c0, horizon, interpret, *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, horizon, 1, H, W]
