@@ -294,3 +294,45 @@ def test_rollout_kernel_three_cell_warm_start(horizon):
     assert out.shape == ref.shape == (b, horizon, 1, hw, hw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_rollout_kernel_tpu_lowering_from_cpu_host():
+    """The pallas->Mosaic LOWERING of the rollout kernel (cold + warm, 2- and
+    3-cell) runs client-side: jax.export for platform 'tpu' from a CPU-only
+    host must succeed. Pins the layout/reshape/slice lowering rules the
+    kernel depends on (128-lane padded warm state, sub-tile lane slices,
+    f32-routed minor-dim reshapes) without TPU hardware; only the on-device
+    Mosaic machine-code compile is outside this test's reach."""
+    from jax import export as jax_export
+
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    t_in, t_out, size = 2, 3, 64
+    for cells in (2, 3):
+        hidden = (64,) * cells
+        frames = jnp.zeros((1, t_in, 1, size, size), jnp.float32)
+        model = ConvLSTMForecaster(hidden_dims=hidden, input_frames=t_in,
+                                   output_frames=t_out, dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), frames)
+
+        fn = lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16)
+        exp = jax_export.export(jax.jit(fn), platforms=("tpu",))(
+            jax.eval_shape(lambda: params),
+            jax.ShapeDtypeStruct(frames.shape, frames.dtype))
+        assert len(exp.serialize()) > 0
+
+        cfg = Config.from_dict({
+            "data": {"source": "synthetic"},
+            "model": {"family": "forecaster", "hidden_dims": list(hidden),
+                      "input_frames": t_in, "output_frames": t_out},
+            "training": {"batch_size": 8},
+            "output": {"output_dir": "/tmp/plcg_lowering_test"}})
+        sf = StreamingForecaster(cfg, params)
+        state = sf.init_state(1, size, size)
+        pfn = sf.export_forecast_pallas_fn(t_out)
+        exp2 = jax_export.export(jax.jit(pfn), platforms=("tpu",))(
+            jax.eval_shape(lambda: (state.cells, state.prev_out)))
+        assert len(exp2.serialize()) > 0
