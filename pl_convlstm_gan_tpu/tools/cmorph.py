@@ -123,7 +123,13 @@ def daily_accumulations(values, times, year: int) -> dict:
     # min_count=24 turns into NaN days, instead of positionally misaligning
     # every 20-20 window after the gap. (The reference shifts the raw index,
     # reference cmorph.py:114 — silently wrong after any missing hour.)
-    df = df.reindex(pd.date_range(df.index.min(), df.index.max(), freq="h"))
+    # anchor the range to DAY boundaries, not the first/last present hour:
+    # if hour 0 of the series is missing, a min()-anchored range starts at
+    # 01:00 and every shifted 20-20 day bin is one row short — NaN even when
+    # all 24 of its *source* hours are present (found by hypothesis).
+    df = df.reindex(pd.date_range(df.index.min().normalize(),
+                                  df.index.max().normalize()
+                                  + pd.Timedelta(hours=23), freq="h"))
     daily = {
         "hydro_08-08": df.resample("1D").sum(min_count=24),
         "cma_20-20": df.shift(-12).resample("1D").sum(min_count=24),
