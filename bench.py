@@ -349,20 +349,6 @@ def get_torch_baseline(iters: int) -> float:
     return p50
 
 
-def _backend_reachable(timeout_s: float = 150.0) -> bool:
-    """Probe jax backend init in a SUBPROCESS. With the TPU tunnel down, any
-    in-process backend touch blocks forever in a silent connect-retry loop
-    (CLAUDE.md) — a killable child turns that unbounded hang into a check."""
-    import subprocess
-    try:
-        return subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL).returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true")
@@ -371,16 +357,22 @@ def main():
     torch_iters = 2 if args.quick else 3
 
     # Fail FAST (and loudly) if the backend is unreachable, riding out brief
-    # tunnel blips first — never hang the caller indefinitely.
+    # tunnel blips first — never hang the caller indefinitely. The probe runs
+    # backend init in a killable subprocess (utils.profiling.probe_backend);
+    # its per-attempt timeout is capped to the window so --quick's 60s window
+    # is real, not dead code behind a 150s first attempt.
+    from pl_convlstm_gan_tpu.utils.profiling import probe_backend
     probe_window_s = 60.0 if args.quick else 15 * 60.0
-    deadline = time.time() + probe_window_s
-    while not _backend_reachable():
+    start = time.time()
+    deadline = start + probe_window_s
+    while not probe_backend(timeout_s=min(150.0, probe_window_s)):
         if time.time() >= deadline:
             print(json.dumps({
                 "metric": "train_step_throughput_10frame_128px_rollout",
                 "value": None, "unit": "frames/sec/chip", "vs_baseline": None,
                 "error": f"jax backend unreachable for "
-                         f"{probe_window_s / 60:.0f} min (TPU tunnel down?)",
+                         f"{(time.time() - start) / 60:.1f} min "
+                         f"(TPU tunnel down?)",
             }))
             sys.exit(1)
         time.sleep(30)

@@ -10,39 +10,26 @@ import argparse
 import os
 
 
-def _probe_backend(timeout_s: float) -> bool:
-    """True when jax backend init succeeds in a KILLABLE subprocess — the
-    in-process equivalent blocks forever when the TPU tunnel is down."""
-    import subprocess
-    import sys
-    try:
-        return subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s, stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL).returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def _require_reachable_backend(timeout_s: float = 240.0) -> None:
     """Fail FAST with an actionable message when the accelerator backend
     cannot come up. With the TPU tunnel down, the first in-process backend
     touch blocks forever in a silent connect-retry loop — a user launching a
     training run deserves an error, not an unexplained hang. Probes in a
-    killable subprocess; skipped when CPU is the primary platform (tests,
-    local runs) or when ``PLCG_NO_BACKEND_PROBE=1`` (wait for the backend
-    indefinitely, the pre-probe behavior)."""
-    from pl_convlstm_gan_tpu.utils.profiling import _cpu_is_primary
+    killable subprocess (``utils.profiling.probe_backend``); skipped when the
+    backend touch is hang-safe (CPU primary — tests, local runs), when
+    ``PLCG_NO_BACKEND_PROBE=1`` (wait for the backend indefinitely, the
+    pre-probe behavior), or on a MULTI-HOST launch: a standalone probe child
+    on one host of a pod slice blocks waiting for the other workers, so on
+    healthy hardware the probe itself would time out and brick the launch."""
+    from pl_convlstm_gan_tpu.utils.profiling import (backend_touch_is_hang_safe,
+                                                     probe_backend)
     if os.environ.get("PLCG_NO_BACKEND_PROBE") == "1":
         return
-    import jax
-    configured = str(getattr(jax.config, "jax_platforms", None) or "")
-    if configured and _cpu_is_primary(configured):
-        return   # jax.config CPU route: axon never initializes (conftest)
-    if (_cpu_is_primary(os.environ.get("JAX_PLATFORMS", ""))
-            and not os.environ.get("PALLAS_AXON_POOL_IPS")):
-        return   # env CPU route is only hang-proof without the axon pool var
-    if not _probe_backend(timeout_s):
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        return   # multi-host (parallel/mesh.py maybe_init_distributed)
+    if backend_touch_is_hang_safe():
+        return
+    if not probe_backend(timeout_s):
         raise SystemExit(
             "accelerator backend unreachable (TPU tunnel down?). Fix the "
             "device connection, run on CPU with JAX_PLATFORMS=cpu (also "

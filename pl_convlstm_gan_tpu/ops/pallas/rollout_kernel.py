@@ -400,13 +400,15 @@ def _pack_weights(cells, head_kernel, head_bias, ch: int, dtype):
 
 
 def rollout_pallas(params, frames, t_out: int,
-                   compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+                   compute_dtype=jnp.bfloat16, interpret=None) -> jnp.ndarray:
     """Free-running rollout via the VMEM-resident kernel.
 
     ``params``: a ConvLSTMForecaster param pytree (2-3 equal-width cells +
     head, models/forecaster.py); ``frames``: [B, T_in, 1, H, W] (NCHW like
     the model); returns [B, t_out, 1, H, W] float32 — same contract as
-    ``model.apply(params, frames)`` at inference."""
+    ``model.apply(params, frames)`` at inference. ``interpret``: see
+    ``_launch_rollout`` — cross-platform TPU export from a CPU host must
+    pass False to capture the Mosaic kernel, not the interpreter."""
     core = params["params"]["core"]
     cells = _cells_from_core(core)
     ch = cells[0].kernel.shape[-1] // 4
@@ -416,7 +418,7 @@ def rollout_pallas(params, frames, t_out: int,
     packed = _pack_weights(cells, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
     fr = frames[:, :, 0].astype(compute_dtype)          # [B, T_in, H, W]
-    out = _run_rollout(fr, t_out, None, *packed)
+    out = _run_rollout(fr, t_out, interpret, *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, t_out, 1, H, W]
 
 

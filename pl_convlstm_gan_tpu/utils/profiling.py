@@ -37,6 +37,61 @@ def setup_compile_cache(cache_dir: str = "~/.cache/jax_comp") -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def backend_touch_is_hang_safe() -> bool:
+    """True when the first in-process backend touch cannot hang on a dead
+    accelerator tunnel, so launchers may skip the subprocess probe:
+
+    - CPU is the primary platform via ``jax.config`` (the reliable route in
+      this image — the accelerator plugin never initializes), or
+    - CPU is primary via the env var AND the axon pool variable is unset
+      (with it set, even env-selected CPU runs dial the relay at backend
+      init and block forever when the tunnel is down — CLAUDE.md)."""
+    configured = str(getattr(jax.config, "jax_platforms", None) or "")
+    if configured and _cpu_is_primary(configured):
+        return True
+    return (_cpu_is_primary(os.environ.get("JAX_PLATFORMS", ""))
+            and not os.environ.get("PALLAS_AXON_POOL_IPS"))
+
+
+_PROBE_MARKER = "~/.cache/plcg_backend_ok"
+
+
+def probe_backend(timeout_s: float = 150.0,
+                  cache_ttl_s: float = 600.0) -> bool:
+    """True when jax backend init succeeds in a KILLABLE subprocess — the
+    in-process equivalent blocks forever when the TPU tunnel is down.
+
+    A successful probe writes a marker file; within ``cache_ttl_s`` seconds
+    subsequent probes trust it and return immediately, so back-to-back
+    launches don't each pay a full backend spin-up (~20-100s through the
+    tunnel). Failures are never cached. ``cache_ttl_s=0`` disables the
+    marker entirely."""
+    import subprocess
+    import sys
+    marker = os.path.expanduser(_PROBE_MARKER)
+    if cache_ttl_s:
+        try:
+            if time.time() - os.path.getmtime(marker) < cache_ttl_s:
+                return True
+        except OSError:
+            pass
+    try:
+        ok = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if ok and cache_ttl_s:
+        try:
+            os.makedirs(os.path.dirname(marker), exist_ok=True)
+            with open(marker, "w") as f:
+                f.write(str(time.time()))
+        except OSError:
+            pass
+    return ok
+
+
 class Timer:
     """Accumulating wall-clock timer.
 

@@ -230,8 +230,10 @@ def test_cli_stream_single_series_and_requires_input(tmp_path):
 def test_backend_probe_fails_fast(monkeypatch):
     """With a non-CPU platform and an unreachable backend, the CLI exits
     with an actionable message instead of hanging in the axon connect-retry
-    loop; the probe is skipped under PLCG_NO_BACKEND_PROBE=1 and on the
-    jax.config CPU route (how this very test process runs)."""
+    loop; the probe is skipped under PLCG_NO_BACKEND_PROBE=1, on the
+    jax.config CPU route (how this very test process runs), and on
+    multi-host launches (a standalone probe child on one pod-slice host
+    blocks on the other workers — healthy hardware would flunk the probe)."""
     from pl_convlstm_gan_tpu import cli
     from pl_convlstm_gan_tpu.utils import profiling
 
@@ -239,16 +241,69 @@ def test_backend_probe_fails_fast(monkeypatch):
         raise AssertionError("probe must be skipped")
 
     # this test process forces CPU via jax.config (conftest) -> no probe
-    monkeypatch.setattr(cli, "_probe_backend", boom)
+    monkeypatch.setattr(profiling, "probe_backend", boom)
     cli._require_reachable_backend()
 
     # non-CPU platform + dead backend -> SystemExit, not a hang
     monkeypatch.setattr(profiling, "_cpu_is_primary", lambda s: False)
-    monkeypatch.setattr(cli, "_probe_backend", lambda timeout_s: False)
+    monkeypatch.setattr(profiling, "probe_backend", lambda timeout_s: False)
     with pytest.raises(SystemExit, match="unreachable"):
         cli._require_reachable_backend()
 
+    # multi-host launch -> probe skipped even on a non-CPU platform
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "127.0.0.1:12345")
+    monkeypatch.setattr(profiling, "probe_backend", boom)
+    cli._require_reachable_backend()
+    monkeypatch.delenv("COORDINATOR_ADDRESS")
+
     # explicit opt-out wins over everything
     monkeypatch.setenv("PLCG_NO_BACKEND_PROBE", "1")
-    monkeypatch.setattr(cli, "_probe_backend", boom)
     cli._require_reachable_backend()
+
+
+def test_probe_backend_success_marker(monkeypatch, tmp_path):
+    """A successful probe writes a TTL marker that short-circuits the next
+    probe (no second backend spin-up); failures are never cached; and the
+    hang-safe predicate requires the axon pool var to be UNSET for the env
+    CPU route (with it set, even JAX_PLATFORMS=cpu dials the relay)."""
+    from pl_convlstm_gan_tpu.utils import profiling
+
+    marker = tmp_path / "ok_marker"
+    monkeypatch.setattr(profiling, "_PROBE_MARKER", str(marker))
+    calls = []
+
+    class _FakeCompleted:
+        returncode = 0
+
+    def fake_run(*a, **k):
+        calls.append(1)
+        return _FakeCompleted()
+
+    monkeypatch.setattr("subprocess.run", fake_run)
+    assert profiling.probe_backend(timeout_s=1.0)
+    assert marker.exists() and len(calls) == 1
+    assert profiling.probe_backend(timeout_s=1.0)   # marker hit, no subproc
+    assert len(calls) == 1
+    assert profiling.probe_backend(timeout_s=1.0, cache_ttl_s=0)
+    assert len(calls) == 2                          # ttl=0 disables marker
+
+    marker.unlink()
+    _FakeCompleted.returncode = 1
+    assert not profiling.probe_backend(timeout_s=1.0)
+    assert not marker.exists()                      # failure not cached
+
+    # hang-safe predicate: env CPU route needs the pool var unset. Stub out
+    # profiling's jax so the config route (forced cpu by conftest in this
+    # very process) doesn't mask the env-route logic under test.
+    class _FakeCfg:
+        jax_platforms = None
+
+    class _FakeJax:
+        config = _FakeCfg()
+
+    monkeypatch.setattr(profiling, "jax", _FakeJax())
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    assert profiling.backend_touch_is_hang_safe()
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    assert not profiling.backend_touch_is_hang_safe()

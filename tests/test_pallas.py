@@ -318,7 +318,11 @@ def test_rollout_kernel_tpu_lowering_from_cpu_host():
                                    output_frames=t_out, dtype=jnp.bfloat16)
         params = model.init(jax.random.PRNGKey(0), frames)
 
-        fn = lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16)
+        # interpret=False: from a CPU host the auto mode would lower the
+        # INTERPRETER emulation, silently skipping the Mosaic lowering this
+        # test exists to pin
+        fn = lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16,
+                                         interpret=False)
         exp = jax_export.export(jax.jit(fn), platforms=("tpu",))(
             jax.eval_shape(lambda: params),
             jax.ShapeDtypeStruct(frames.shape, frames.dtype))
