@@ -135,6 +135,24 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
     if tpu_kernel not in ("auto", "require", "off"):
         raise ValueError(f"tpu_kernel must be auto/require/off, "
                          f"got {tpu_kernel!r}")
+    plats = tuple(platforms or DEFAULT_PLATFORMS)
+    if tpu_kernel == "require" and "tpu" not in plats:
+        raise ValueError(
+            f"tpu_kernel='require' but 'tpu' is not among the export "
+            f"platforms {plats} — kernel programs are TPU-only Mosaic "
+            f"custom calls")
+    if config.model.convlstm_impl != "xla":
+        # exported observe/forecast programs must stay portable across all
+        # requested platforms: the per-step pallas cell's interpret decision
+        # is host-backend-dependent at trace time, so an explicit
+        # convlstm_impl 'pallas' would bake either a TPU-only Mosaic call
+        # into the CPU lowering or the interpreter into the TPU one. The
+        # kernel entries below use the warm-start ROLLOUT kernel and are
+        # unaffected by this override.
+        import dataclasses
+        config = dataclasses.replace(
+            config, model=dataclasses.replace(config.model,
+                                              convlstm_impl="xla"))
     sf = StreamingForecaster.from_checkpoint(config, checkpoint_path)
     meta = sf.export_meta()
     state_tpl = jax.eval_shape(lambda: sf.init_state(batch_size, height,
@@ -150,7 +168,6 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
     frame_spec = jax.ShapeDtypeStruct((b, meta["channels"], height, width),
                                       np.float32)
 
-    plats = tuple(platforms or DEFAULT_PLATFORMS)
     entries = [("observe", _jax_export.export(
         jax.jit(sf.export_observe_fn()), platforms=plats)(
             state_spec, frame_spec).serialize())]
@@ -232,7 +249,14 @@ class StreamingServer:
         from then on. A program that has already served successfully is kept:
         a later failure (transient RESOURCE_EXHAUSTED under concurrent load,
         a preempted device) falls back for that request only — an embedded
-        optimization must never take down OR permanently degrade serving."""
+        optimization must never take down OR permanently degrade serving.
+
+        Kernel-served calls are blocked until the result is READY before
+        returning: jit dispatch is asynchronous, so without the sync an
+        execution-time failure would raise later at the consumer — outside
+        this fallback — and a kernel would be marked proven by a dispatch
+        that never actually ran. The sync costs nothing in practice: a
+        serving caller fetches the result immediately anyway."""
         if horizon not in self._forecasts:
             raise ValueError(f"horizon {horizon} not in exported set "
                              f"{self.horizons}")
@@ -240,7 +264,7 @@ class StreamingServer:
         if (pfn is not None and jax.default_backend() == "tpu"
                 and state[1].shape[0] == self._meta.get("pallas_batch")):
             try:
-                out = pfn(state)
+                out = jax.block_until_ready(pfn(state))
                 self._pallas_proven.add(horizon)
                 return out
             except Exception as e:  # fall back to the portable program
@@ -289,24 +313,37 @@ def parse_stream_header(blob: bytes) -> Tuple[dict, int]:
 
 
 def load_streaming_exported(blob: bytes) -> StreamingServer:
-    """Deserialize an ``export_streaming`` artifact."""
+    """Deserialize an ``export_streaming`` artifact.
+
+    Entry names are parsed BEFORE any payload is deserialized: an unknown
+    entry kind from a newer writer is skipped without touching its bytes, so
+    the format's forward tolerance doesn't hinge on this jax release being
+    able to parse programs it would never call."""
     meta, off = parse_stream_header(blob)
-    fns = {}
+    raw = []
     for name, length in meta["entries"]:
-        fns[name] = jax.jit(
-            _jax_export.deserialize(blob[off:off + length]).call)
+        if off + length > len(blob):
+            raise ValueError(f"truncated streaming artifact "
+                             f"(entry {name!r} cut short)")
+        raw.append((name, blob[off:off + length]))
         off += length
-    forecasts, pallas = {}, {}
-    for n, f in fns.items():
-        if not n.startswith("forecast_"):
+    load = lambda data: jax.jit(_jax_export.deserialize(data).call)
+    observe, forecasts, pallas = None, {}, {}
+    for n, data in raw:
+        if n == "observe":
+            observe = load(data)
             continue
+        if not n.startswith("forecast_"):
+            continue                 # unknown future entry kind: skip
         parts = n.split("_")
         if not parts[1].isdigit():   # unknown future entry kind: skip
             continue
         h = int(parts[1])
         if len(parts) == 2:
-            forecasts[h] = f
-        elif parts[2] == "pallas":
-            pallas[h] = f
+            forecasts[h] = load(data)
+        elif len(parts) == 3 and parts[2] == "pallas":
+            pallas[h] = load(data)
         # any other suffix: a newer optional program kind — ignore
-    return StreamingServer(meta, fns["observe"], forecasts, pallas)
+    if observe is None:
+        raise ValueError("streaming artifact has no observe entry")
+    return StreamingServer(meta, observe, forecasts, pallas)

@@ -232,9 +232,11 @@ class StreamingForecaster:
                 b, h, w, horizon, auto=(self._rollout_impl == "auto"))
             if self._rollout_impl == "pallas" and not fits:
                 raise ValueError(
-                    "rollout_impl 'pallas' does not support this shape family "
-                    "(needs 2-3 equal-width cells, 3x3 kernels, 1-channel "
-                    "frames, lanes tiling) — use 'xla'")
+                    "rollout_impl 'pallas' does not support this "
+                    "shape/horizon (needs 2-3 equal-width cells, 3x3 "
+                    "kernels, 1-channel frames, lanes tiling, and the "
+                    "batch's packed state + scratch within the VMEM "
+                    "budget) — use 'xla' or a smaller batch/horizon")
             if fits and (jax.default_backend() == "tpu"
                          or self._rollout_impl == "pallas"):
                 if self._jit_forecast_pallas is None:

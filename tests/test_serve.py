@@ -341,3 +341,117 @@ def test_streaming_server_kernel_transient_failure_kept(monkeypatch):
     # kernel program retained -> next request uses it again
     assert float(server.forecast(state, 2)[0, 0, 0, 0, 0]) == 1.0
     assert calls == {"pallas": 3, "xla": 1}
+
+
+def test_streaming_export_require_needs_tpu_platform(tmp_path):
+    """tpu_kernel='require' without 'tpu' among the export platforms must
+    raise, not silently produce a kernel-less artifact (the kernel block is
+    gated on the platform list, so without this check the require contract
+    would be skipped along with it)."""
+    import pytest
+    from pl_convlstm_gan_tpu.serve import export_streaming
+
+    config = load_config("ci_smoke_seq")
+    _, _, _, ckpt = _forecaster_ckpt(tmp_path, config)
+    with pytest.raises(ValueError, match="require"):
+        export_streaming(config, ckpt, 16, 16, horizons=(2,),
+                         platforms=("cpu",), tpu_kernel="require")
+
+
+def test_streaming_loader_lazy_and_bounds(tmp_path):
+    """The loader parses entry names BEFORE deserializing payloads: an
+    unknown entry kind with an unparseable payload is skipped untouched, a
+    'forecast_<h>_pallas_<extra>' name is an unknown kind (not the pallas
+    program), and a payload truncated mid-entry raises the documented
+    ValueError instead of a raw deserializer traceback."""
+    import json
+    import struct
+
+    import pytest
+    from pl_convlstm_gan_tpu.serve import (_STREAM_MAGIC, export_streaming,
+                                           load_streaming_exported,
+                                           parse_stream_header)
+
+    config = load_config("ci_smoke_seq")
+    _, _, _, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob = export_streaming(config, ckpt, 16, 16, horizons=(2,))
+    meta, payload_off = parse_stream_header(blob)
+    payload = blob[payload_off:]
+
+    def forge(new_meta, new_payload):
+        hdr = json.dumps(new_meta).encode()
+        return _STREAM_MAGIC + struct.pack("<I", len(hdr)) + hdr + new_payload
+
+    # rename forecast_2 -> forecast_2_pallas_v2 AND garble its bytes: a
+    # newer optional kind must be skipped without deserialization
+    names = [n for n, _ in meta["entries"]]
+    sizes = dict(meta["entries"])
+    off = 0
+    chunks = {}
+    for n in names:
+        chunks[n] = payload[off:off + sizes[n]]
+        off += sizes[n]
+    garbled = dict(chunks)
+    garbled["forecast_2"] = b"\xde\xad" * (sizes["forecast_2"] // 2) + \
+        b"\x00" * (sizes["forecast_2"] % 2)
+    meta_v2 = dict(meta, entries=[
+        [n if n != "forecast_2" else "forecast_2_pallas_v2", ln]
+        for n, ln in meta["entries"]])
+    server = load_streaming_exported(
+        forge(meta_v2, b"".join(garbled[n] for n in names)))
+    assert server.horizons == ()          # unknown kind skipped
+    assert not server._pallas_forecasts   # NOT misread as the pallas program
+    state = server.init_state(1)
+    state, now = server.observe(state, np.zeros((1, 1, 16, 16), np.float32))
+    assert now.shape == (1, 1, 16, 16)
+
+    # payload cut mid-entry -> clean ValueError naming the entry
+    with pytest.raises(ValueError, match="cut short"):
+        load_streaming_exported(blob[:-10])
+
+    # no observe entry -> clean ValueError
+    meta_noobs = dict(meta, entries=[[n, ln] for n, ln in meta["entries"]
+                                     if n != "observe"])
+    payload_noobs = b"".join(chunks[n] for n in names if n != "observe")
+    with pytest.raises(ValueError, match="no observe"):
+        load_streaming_exported(forge(meta_noobs, payload_noobs))
+
+
+def test_streaming_export_forces_portable_cell_impl(tmp_path):
+    """An explicit ``model.convlstm_impl: pallas`` must not leak the per-step
+    Pallas cell into the exported observe/forecast programs: its interpret
+    decision is host-backend-dependent at trace time, so the artifact would
+    either carry a TPU-only Mosaic call in its CPU lowering or bake the
+    interpreter into the TPU one. The export override forces the portable
+    XLA cell — every program in the artifact must carry the same StableHLO
+    as one exported from an 'xla' config (serialized bytes can differ in
+    metadata, so compare module text)."""
+    import dataclasses
+
+    from jax import export as jax_export
+
+    from pl_convlstm_gan_tpu.serve import export_streaming, parse_stream_header
+
+    import re
+
+    def modules(blob):
+        # strip #loc debug metadata: its numbering varies run-to-run while
+        # the op structure (what a leaked pallas cell would change) does not
+        canon = lambda txt: re.sub(r"\s*loc\(#?[^)]*\)", "",
+                                   re.sub(r"#loc\d* = .*\n", "", txt))
+        meta, off = parse_stream_header(blob)
+        out = {}
+        for name, length in meta["entries"]:
+            out[name] = canon(jax_export.deserialize(
+                blob[off:off + length]).mlir_module())
+            off += length
+        return out
+
+    config = load_config("ci_smoke_seq")
+    _, _, _, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob_xla = export_streaming(config, ckpt, 16, 16, horizons=(2,))
+    cfg_pallas = dataclasses.replace(
+        config, model=dataclasses.replace(config.model,
+                                          convlstm_impl="pallas"))
+    blob_pallas = export_streaming(cfg_pallas, ckpt, 16, 16, horizons=(2,))
+    assert modules(blob_pallas) == modules(blob_xla)

@@ -144,7 +144,7 @@ def test_streaming_forced_pallas_rejects_unsupported_shape(rng):
     sf = StreamingForecaster(cfg, variables)
     state = sf.init_state(frames.shape[0], frames.shape[3], frames.shape[4])
     state, _ = sf.observe_window(state, frames)
-    with pytest.raises(ValueError, match="shape family"):
+    with pytest.raises(ValueError, match="shape/horizon"):
         sf.forecast(state, 3)
 
 
