@@ -97,5 +97,6 @@ def shard_batch(batch, mesh: Mesh, axis_name: str = "data"):
 
 
 def replicate(tree, mesh: Mesh):
-    s = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+    # ONE pytree device_put: jax batches the host->device transfers, vs one
+    # dispatch per leaf (each ~ms through the axon tunnel) for large trees
+    return jax.device_put(tree, replicated_sharding(mesh))

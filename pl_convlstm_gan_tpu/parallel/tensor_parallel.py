@@ -67,6 +67,8 @@ def unshard_cell_params(params: ConvLSTMParams, n_shards: int) -> ConvLSTMParams
     """Inverse of ``shard_cell_params``: shard-major per-gate layout back to the
     canonical [i|f|o|g] layout (checkpoints are stored canonical)."""
     ch = params.kernel.shape[-1] // 4
+    if ch % n_shards:
+        raise ValueError(f"hidden dim {ch} not divisible by {n_shards} shards")
     inv = jnp.asarray(np.argsort(_pergate_permutation(ch, n_shards)))
     return ConvLSTMParams(params.kernel[..., inv], params.bias[inv])
 
@@ -100,6 +102,11 @@ def tp_permute_tree(tree, n_shards: int, inverse: bool = False):
         if not in_cell or name not in ("kernel", "bias"):
             return leaf
         ch = leaf.shape[-1] // 4
+        if ch % n_shards:
+            # fancy indexing with a short permutation would silently
+            # TRUNCATE the channel axis; fail like shard_cell_params does
+            raise ValueError(
+                f"hidden dim {ch} not divisible by {n_shards} shards")
         perm = _pergate_permutation(ch, n_shards)
         if inverse:
             perm = np.argsort(perm)

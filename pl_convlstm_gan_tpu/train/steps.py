@@ -27,8 +27,8 @@ import optax
 
 from ..losses.adversarial import discriminator_loss, gan_generator_loss, l1_loss
 from ..losses.combined import (combined_loss, conservation_loss, gradient_loss,
-                               point_supervision_sums, station_rmse,
-                               station_sq_err_sums, temporal_consistency_loss)
+                               point_supervision_sums, station_sq_err_sums,
+                               temporal_consistency_loss)
 from ..losses.ssim import ssim_per_sample
 
 
@@ -65,6 +65,45 @@ def _select(pred_ok, new, old):
         lambda n, o: jnp.where(pred_ok, n, o), new, old)
 
 
+# -- shared single-device / data-parallel step plumbing ----------------------
+# The step bodies below take ``axis_name``: None compiles the single-device
+# program; a mesh axis name compiles the per-shard body for shard_map (see
+# parallel/train_parallel.py). One body owns the loss/NaN-guard/update logic
+# so the two paths cannot drift.
+
+def _global_ok(total, axis_name):
+    """Finite-loss check; under DP a GLOBAL decision (if any shard is
+    non-finite the whole update is dropped, keeping replicas bit-identical —
+    the reference's per-batch NaN skip generalized to DP)."""
+    ok = jnp.isfinite(total)
+    if axis_name is None:
+        return ok
+    return jax.lax.pmean(ok.astype(jnp.float32), axis_name) >= 1.0
+
+
+def _reduced_safe_grads(grads, ok, axis_name):
+    """Zero non-finite grads (branchless skip), then all-reduce under DP."""
+    safe = _select(ok, grads, jax.tree_util.tree_map(jnp.zeros_like, grads))
+    if axis_name is None:
+        return safe
+    return jax.tree_util.tree_map(
+        lambda g: jax.lax.pmean(g, axis_name), safe)
+
+
+def _mean_metrics(metrics: Dict, axis_name) -> Dict:
+    """Per-shard metrics -> global means (host logs see one value)."""
+    if axis_name is None:
+        return metrics
+    return {k: jax.lax.pmean(v.astype(jnp.float32), axis_name)
+            for k, v in metrics.items()}
+
+
+def _psum_pair(num, cnt, axis_name):
+    if axis_name is None:
+        return num, cnt
+    return jax.lax.psum(num, axis_name), jax.lax.psum(cnt, axis_name)
+
+
 def aggregate_epoch_metrics(metrics_acc) -> Dict[str, float]:
     """Host-side epoch averages over per-batch step metrics, excluding
     NaN-skipped batches (their metrics are non-finite by construction; one bad
@@ -94,11 +133,24 @@ def aggregate_epoch_metrics(metrics_acc) -> Dict[str, float]:
 # downscaling generator family (reference parity path)
 # --------------------------------------------------------------------------
 
-def make_generator_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
-                              loss_cfg: Dict, input_grid_size=None) -> Callable:
-    """Returns jitted step(state, batch, lr) -> (state, metrics).
+def generator_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
+                        loss_cfg: Dict, input_grid_size=None,
+                        axis_name=None) -> Callable:
+    """Unjitted step(state, batch, lr) -> (state, metrics) body; shared by the
+    single-device jit and the shard_map DP path (``axis_name`` set).
 
-    batch = (rain_lr [B,T,1,H,W], dem, lu, s_coords, s_values)."""
+    batch = (rain_lr [B,T,1,H,W], dem, lu, s_coords, s_values).
+
+    DP exactness: the point term and station RMSE normalize by mask COUNTS
+    that vary across shards (NaN station observations), so a naive pmean of
+    per-shard ratios diverges from the single-device global-batch semantics
+    (mean-of-ratios vs ratio-of-means; for RMSE, Jensen biases the mean of
+    per-shard roots low). Under DP the point term therefore scales the LOCAL
+    weighted-error sum by n_shards / GLOBAL count — pmean of these per-shard
+    losses (and of their grads) then equals the exact global-batch loss and
+    gradient (counts carry no gradient) — and RMSE is one global
+    sqrt(psum(se)/psum(cnt)). The other three terms are per-sample means
+    over equal-size shards, where pmean-of-means is already exact."""
 
     def loss_fn(params, rain_lr, dem, lu, s_coords, s_values):
         kwargs = {}
@@ -107,31 +159,60 @@ def make_generator_train_step(apply_fn: Callable, tx: optax.GradientTransformati
         pred = apply_fn(params, rain_lr, dem, lu, **kwargs)
         # scale recomputed from shapes, as the reference does (trainer.py:300-302)
         scale = pred.shape[-2] / rain_lr.shape[-2]
-        total, parts = combined_loss(
-            pred, rain_lr, s_coords, s_values, scale,
-            loss_cfg["lambda_point"], loss_cfg["lambda_conserve"],
-            loss_cfg["lambda_smooth"], loss_cfg["lambda_temporal"],
-            loss_cfg["use_weighted_loss"], loss_cfg["weight_strategy"])
+        if axis_name is None:
+            total, parts = combined_loss(
+                pred, rain_lr, s_coords, s_values, scale,
+                loss_cfg["lambda_point"], loss_cfg["lambda_conserve"],
+                loss_cfg["lambda_smooth"], loss_cfg["lambda_temporal"],
+                loss_cfg["use_weighted_loss"], loss_cfg["weight_strategy"])
+        else:
+            p_num, p_cnt = point_supervision_sums(
+                pred, s_coords, s_values, scale,
+                loss_cfg["use_weighted_loss"], loss_cfg["weight_strategy"])
+            n_shards = jax.lax.psum(1.0, axis_name)
+            g_cnt = jax.lax.psum(p_cnt, axis_name)
+            loss_point = jnp.where(
+                g_cnt > 0, n_shards * p_num / jnp.maximum(g_cnt, 1.0), 0.0)
+            parts = {"point": loss_point,
+                     "conserve": conservation_loss(pred, rain_lr),
+                     "smooth": gradient_loss(pred),
+                     "temporal": temporal_consistency_loss(pred)}
+            total = (loss_cfg["lambda_point"] * parts["point"]
+                     + loss_cfg["lambda_conserve"] * parts["conserve"]
+                     + loss_cfg["lambda_smooth"] * parts["smooth"]
+                     + loss_cfg["lambda_temporal"] * parts["temporal"])
         return total, (parts, pred, scale)
 
     def step(state: TrainState, batch, lr):
         rain_lr, dem, lu, s_coords, s_values = batch
         (total, (parts, pred, scale)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params, rain_lr, dem, lu, s_coords, s_values)
-        ok = jnp.isfinite(total)
-        safe_grads = _select(ok, grads, jax.tree_util.tree_map(jnp.zeros_like, grads))
+        ok = _global_ok(total, axis_name)
+        safe_grads = _reduced_safe_grads(grads, ok, axis_name)
         new_params, new_opt = _apply_updates_dynamic_lr(
             tx, state.params, safe_grads, state.opt_state, lr)
         new_state = TrainState(
             params=_select(ok, new_params, state.params),
             opt_state=_select(ok, new_opt, state.opt_state),
             step=state.step + 1)
-        rmse = station_rmse(pred, s_coords, s_values, scale)
+        se_num, se_cnt = _psum_pair(
+            *station_sq_err_sums(pred, s_coords, s_values, scale), axis_name)
+        rmse = jnp.where(se_cnt > 0,
+                         jnp.sqrt(se_num / jnp.maximum(se_cnt, 1.0)), 0.0)
         metrics = {"total": total, "rmse": rmse, "skipped": (~ok).astype(jnp.int32),
                    **parts}
-        return new_state, metrics
+        return new_state, _mean_metrics(metrics, axis_name)
 
-    return jax.jit(step, donate_argnums=(0,))
+    return step
+
+
+def make_generator_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
+                              loss_cfg: Dict, input_grid_size=None) -> Callable:
+    """Returns jitted step(state, batch, lr) -> (state, metrics).
+
+    batch = (rain_lr [B,T,1,H,W], dem, lu, s_coords, s_values)."""
+    return jax.jit(generator_step_body(apply_fn, tx, loss_cfg, input_grid_size),
+                   donate_argnums=(0,))
 
 
 def make_generator_eval_step(apply_fn: Callable, loss_cfg: Dict,
@@ -193,6 +274,39 @@ def aggregate_generator_eval(metric_batches, loss_cfg: Dict
 # forecaster family (nowcasting; north-star configs #1/#3/#4)
 # --------------------------------------------------------------------------
 
+def forecaster_step_body(apply_fn: Callable, tx: optax.GradientTransformation,
+                         axis_name=None) -> Callable:
+    """Unjitted step(state, batch, lr, tf_prob, rng) -> (state, metrics) body;
+    shared by the single-device jit and the shard_map DP path. The L1 loss is
+    a per-sample mean over equal-size shards, so pmean of per-shard losses
+    and grads is already the exact global-batch value. Under DP the
+    scheduled-sampling rng is decorrelated across shards via fold_in."""
+
+    def loss_fn(params, inputs, targets, tf_prob, rng):
+        pred = apply_fn(params, inputs, targets=targets,
+                        teacher_forcing_prob=tf_prob, rng=rng)
+        return l1_loss(pred, targets), pred
+
+    def step(state: TrainState, batch, lr, tf_prob, rng):
+        inputs, targets = batch
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
+        (total, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, inputs, targets, tf_prob, rng)
+        ok = _global_ok(total, axis_name)
+        safe_grads = _reduced_safe_grads(grads, ok, axis_name)
+        new_params, new_opt = _apply_updates_dynamic_lr(
+            tx, state.params, safe_grads, state.opt_state, lr)
+        new_state = TrainState(
+            params=_select(ok, new_params, state.params),
+            opt_state=_select(ok, new_opt, state.opt_state),
+            step=state.step + 1)
+        metrics = {"total": total, "skipped": (~ok).astype(jnp.int32)}
+        return new_state, _mean_metrics(metrics, axis_name)
+
+    return step
+
+
 def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformation,
                                shardings: Optional[Tuple] = None) -> Callable:
     """step(state, batch, lr, tf_prob, rng) -> (state, metrics).
@@ -204,26 +318,7 @@ def make_forecaster_train_step(apply_fn: Callable, tx: optax.GradientTransformat
     on 'model', XLA inserts the gather/grad-reduction collectives. The loss
     (and hence the NaN-skip decision) is computed on the GLOBAL batch, so no
     per-shard pmean plumbing is needed."""
-
-    def loss_fn(params, inputs, targets, tf_prob, rng):
-        pred = apply_fn(params, inputs, targets=targets,
-                        teacher_forcing_prob=tf_prob, rng=rng)
-        return l1_loss(pred, targets), pred
-
-    def step(state: TrainState, batch, lr, tf_prob, rng):
-        inputs, targets = batch
-        (total, pred), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, inputs, targets, tf_prob, rng)
-        ok = jnp.isfinite(total)
-        safe_grads = _select(ok, grads, jax.tree_util.tree_map(jnp.zeros_like, grads))
-        new_params, new_opt = _apply_updates_dynamic_lr(
-            tx, state.params, safe_grads, state.opt_state, lr)
-        new_state = TrainState(
-            params=_select(ok, new_params, state.params),
-            opt_state=_select(ok, new_opt, state.opt_state),
-            step=state.step + 1)
-        metrics = {"total": total, "skipped": (~ok).astype(jnp.int32)}
-        return new_state, metrics
+    step = forecaster_step_body(apply_fn, tx)
 
     if shardings is not None:
         state_sh, batch_sh, rep = shardings
@@ -302,23 +397,21 @@ def aggregate_sequence_eval(metric_batches) -> Optional[Dict[str, float]]:
 # GAN family (north-star configs #2/#5): alternating D/G in one compiled step
 # --------------------------------------------------------------------------
 
-def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
-                        gen_tx: optax.GradientTransformation,
-                        disc_tx: optax.GradientTransformation,
-                        lambda_adv: float = 0.001, lambda_l1: float = 1.0,
-                        label_smoothing: float = 0.0,
-                        shardings: Optional[Tuple] = None) -> Callable:
-    """step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state, metrics).
-
-    batch = (inputs, targets). One compiled program performs: G forward ->
-    D update on (real, stop_grad(fake)) -> G update against the *updated* D.
-
-    ``shardings`` = (state_shardings, batch_sharding, replicated): the GSPMD
-    DPxTP path — G's cells channel-sharded on 'model', D replicated over it,
-    batch on 'data' (see make_forecaster_train_step)."""
+def gan_step_body(gen_apply: Callable, disc_apply: Callable,
+                  gen_tx: optax.GradientTransformation,
+                  disc_tx: optax.GradientTransformation,
+                  lambda_adv: float = 0.001, lambda_l1: float = 1.0,
+                  label_smoothing: float = 0.0, axis_name=None) -> Callable:
+    """Unjitted step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state,
+    metrics) body; shared by the single-device jit and the shard_map DP path.
+    Both GAN losses are per-sample means over equal-size shards, so pmean of
+    per-shard losses/grads is the exact global-batch value. D and G each get
+    their own global NaN-skip decision."""
 
     def step(state: GANTrainState, batch, g_lr, d_lr, tf_prob, rng):
         inputs, targets = batch
+        if axis_name is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
         fake = gen_apply(state.gen_params, inputs, targets=targets,
                          teacher_forcing_prob=tf_prob, rng=rng)
@@ -333,9 +426,8 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
 
         (d_total, d_parts), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(
             state.disc_params)
-        d_ok = jnp.isfinite(d_total)
-        d_grads = _select(d_ok, d_grads,
-                          jax.tree_util.tree_map(jnp.zeros_like, d_grads))
+        d_ok = _global_ok(d_total, axis_name)
+        d_grads = _reduced_safe_grads(d_grads, d_ok, axis_name)
         new_dp, new_dopt = _apply_updates_dynamic_lr(
             disc_tx, state.disc_params, d_grads, state.disc_opt_state, d_lr)
         new_dp = _select(d_ok, new_dp, state.disc_params)
@@ -352,9 +444,8 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
 
         (g_total, g_parts), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             state.gen_params)
-        g_ok = jnp.isfinite(g_total)
-        g_grads = _select(g_ok, g_grads,
-                          jax.tree_util.tree_map(jnp.zeros_like, g_grads))
+        g_ok = _global_ok(g_total, axis_name)
+        g_grads = _reduced_safe_grads(g_grads, g_ok, axis_name)
         new_gp, new_gopt = _apply_updates_dynamic_lr(
             gen_tx, state.gen_params, g_grads, state.gen_opt_state, g_lr)
         new_gp = _select(g_ok, new_gp, state.gen_params)
@@ -364,7 +455,27 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
         metrics = {"d_total": d_total, "g_total": g_total,
                    "skipped": ((~d_ok) | (~g_ok)).astype(jnp.int32),
                    **d_parts, **g_parts}
-        return new_state, metrics
+        return new_state, _mean_metrics(metrics, axis_name)
+
+    return step
+
+
+def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
+                        gen_tx: optax.GradientTransformation,
+                        disc_tx: optax.GradientTransformation,
+                        lambda_adv: float = 0.001, lambda_l1: float = 1.0,
+                        label_smoothing: float = 0.0,
+                        shardings: Optional[Tuple] = None) -> Callable:
+    """step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state, metrics).
+
+    batch = (inputs, targets). One compiled program performs: G forward ->
+    D update on (real, stop_grad(fake)) -> G update against the *updated* D.
+
+    ``shardings`` = (state_shardings, batch_sharding, replicated): the GSPMD
+    DPxTP path — G's cells channel-sharded on 'model', D replicated over it,
+    batch on 'data' (see make_forecaster_train_step)."""
+    step = gan_step_body(gen_apply, disc_apply, gen_tx, disc_tx, lambda_adv,
+                         lambda_l1, label_smoothing)
 
     if shardings is not None:
         state_sh, batch_sh, rep = shardings

@@ -65,6 +65,41 @@ def test_dp_step_runs_and_matches_single_device():
     assert int(m_d["skipped"]) == 0
 
 
+def test_dp_matches_single_device_with_nan_stations():
+    """DP exactness under UNEVEN valid-station counts: NaN observations make
+    per-shard mask counts differ (one shard has zero), where a naive pmean of
+    per-shard count-normalized point losses diverges from the single-device
+    global-batch semantics (mean-of-ratios vs ratio-of-means). The DP body
+    normalizes by the GLOBAL count (train/steps.py generator_step_body), so
+    params AND the point/rmse metrics must match the single-device step."""
+    model, tx, params, batch = _setup(batch=8)
+    sv = np.asarray(batch[4]).copy()          # [B, T, N]
+    sv[0] = np.nan                            # shard 0: zero valid entries
+    sv[1, :, :-1] = np.nan                    # shard 1: one station left
+    sv[2, 1:] = np.nan                        # shard 2: one timestep left
+    batch = batch[:4] + (jnp.asarray(sv),)
+    mesh = make_mesh()
+    copy = lambda t: jax.tree_util.tree_map(jnp.copy, t)
+
+    p1 = copy(params)
+    state_s = TrainState(p1, tx.init(p1), jnp.zeros((), jnp.int32))
+    step_s = make_generator_train_step(model.apply, tx, LOSS_CFG)
+    state_s, m_s = step_s(state_s, batch, jnp.asarray(1e-2))
+
+    p2 = copy(params)
+    state_d = replicate(TrainState(p2, tx.init(p2), jnp.zeros((), jnp.int32)),
+                        mesh)
+    step_d = make_dp_generator_train_step(model.apply, tx, LOSS_CFG, mesh)
+    state_d, m_d = step_d(state_d, shard_batch(batch, mesh), jnp.asarray(1e-2))
+
+    assert int(m_d["skipped"]) == 0
+    for key in ("total", "point", "rmse"):
+        np.testing.assert_allclose(float(m_s[key]), float(m_d[key]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_s.params),
+                    jax.tree_util.tree_leaves(state_d.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_dp_global_nan_skip():
     """Poison ONE shard's data: the *global* update must be skipped."""
     model, tx, params, batch = _setup(batch=8)
