@@ -357,15 +357,18 @@ def main():
     torch_iters = 2 if args.quick else 3
 
     # Fail FAST (and loudly) if the backend is unreachable, riding out brief
-    # tunnel blips first — never hang the caller indefinitely. The probe runs
-    # backend init in a killable subprocess (utils.profiling.probe_backend);
-    # its per-attempt timeout is capped to the window so --quick's 60s window
-    # is real, not dead code behind a 150s first attempt.
+    # tunnel blips first — bound the unreachable case rather than hang (a
+    # tunnel death within the probe marker's TTL of a prior success can still
+    # hang backend init; see probe_backend). Each probe attempt restarts
+    # backend spin-up from scratch, so the per-attempt timeout must cover a
+    # full cold init (~20-100s through the tunnel; 150s per the CLAUDE.md
+    # probe recipe) even under --quick — capping it below that would
+    # false-negative a healthy cold backend.
     from pl_convlstm_gan_tpu.utils.profiling import probe_backend
-    probe_window_s = 60.0 if args.quick else 15 * 60.0
+    probe_window_s = 150.0 if args.quick else 15 * 60.0
     start = time.time()
     deadline = start + probe_window_s
-    while not probe_backend(timeout_s=min(150.0, probe_window_s)):
+    while not probe_backend(timeout_s=150.0):
         if time.time() >= deadline:
             print(json.dumps({
                 "metric": "train_step_throughput_10frame_128px_rollout",

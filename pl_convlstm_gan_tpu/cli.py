@@ -20,7 +20,9 @@ def _require_reachable_backend(timeout_s: float = 240.0) -> None:
     ``PLCG_NO_BACKEND_PROBE=1`` (wait for the backend indefinitely, the
     pre-probe behavior), or on a MULTI-HOST launch: a standalone probe child
     on one host of a pod slice blocks waiting for the other workers, so on
-    healthy hardware the probe itself would time out and brick the launch."""
+    healthy hardware the probe itself would time out and brick the launch.
+    Bounded, not absolute: a tunnel that dies within the probe marker's TTL
+    of a prior success (see probe_backend) can still hang backend init."""
     from pl_convlstm_gan_tpu.utils.profiling import (backend_touch_is_hang_safe,
                                                      probe_backend)
     if os.environ.get("PLCG_NO_BACKEND_PROBE") == "1":

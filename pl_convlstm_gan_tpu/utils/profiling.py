@@ -56,23 +56,45 @@ def backend_touch_is_hang_safe() -> bool:
 _PROBE_MARKER = "~/.cache/plcg_backend_ok"
 
 
+def _probe_env_fingerprint() -> str:
+    """The env facts that change what a backend probe actually verifies: the
+    platform selection and whether the axon pool var routes backend init
+    through the tunnel. A marker written under one fingerprint must not be
+    trusted under another (e.g. a pool-var-less probe that silently fell back
+    to CPU proves nothing about a tunnel-bound launch)."""
+    return "platforms=%s|pool=%d" % (
+        os.environ.get("JAX_PLATFORMS", ""),
+        bool(os.environ.get("PALLAS_AXON_POOL_IPS")))
+
+
 def probe_backend(timeout_s: float = 150.0,
                   cache_ttl_s: float = 600.0) -> bool:
     """True when jax backend init succeeds in a KILLABLE subprocess — the
     in-process equivalent blocks forever when the TPU tunnel is down.
 
-    A successful probe writes a marker file; within ``cache_ttl_s`` seconds
-    subsequent probes trust it and return immediately, so back-to-back
+    A successful probe writes a marker file recording the probe-relevant env
+    fingerprint; within ``cache_ttl_s`` seconds subsequent probes under the
+    SAME fingerprint trust it and return immediately, so back-to-back
     launches don't each pay a full backend spin-up (~20-100s through the
-    tunnel). Failures are never cached. ``cache_ttl_s=0`` disables the
-    marker entirely."""
+    tunnel). Failures are never cached. ``cache_ttl_s=0`` (or the
+    ``PLCG_PROBE_TTL`` env var) disables the marker entirely.
+
+    The marker is a deliberate trade: a tunnel that dies within the TTL of a
+    successful probe will still hang the next launch's backend init. Callers
+    that cannot tolerate that window should pass ``cache_ttl_s=0``."""
     import subprocess
     import sys
+    ttl_env = os.environ.get("PLCG_PROBE_TTL")
+    if ttl_env is not None:
+        cache_ttl_s = float(ttl_env)
     marker = os.path.expanduser(_PROBE_MARKER)
+    fingerprint = _probe_env_fingerprint()
     if cache_ttl_s:
         try:
             if time.time() - os.path.getmtime(marker) < cache_ttl_s:
-                return True
+                with open(marker) as f:
+                    if f.read().strip() == fingerprint:
+                        return True
         except OSError:
             pass
     try:
@@ -86,7 +108,7 @@ def probe_backend(timeout_s: float = 150.0,
         try:
             os.makedirs(os.path.dirname(marker), exist_ok=True)
             with open(marker, "w") as f:
-                f.write(str(time.time()))
+                f.write(fingerprint)
         except OSError:
             pass
     return ok

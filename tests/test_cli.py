@@ -270,6 +270,11 @@ def test_probe_backend_success_marker(monkeypatch, tmp_path):
 
     marker = tmp_path / "ok_marker"
     monkeypatch.setattr(profiling, "_PROBE_MARKER", str(marker))
+    # pin the env fingerprint inputs so the keyed-marker assertions below
+    # hold regardless of the host environment (the axon pool var is preset
+    # on the TPU-tunnel image)
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.delenv("PLCG_PROBE_TTL", raising=False)
     calls = []
 
     class _FakeCompleted:
@@ -286,6 +291,23 @@ def test_probe_backend_success_marker(monkeypatch, tmp_path):
     assert len(calls) == 1
     assert profiling.probe_backend(timeout_s=1.0, cache_ttl_s=0)
     assert len(calls) == 2                          # ttl=0 disables marker
+
+    # the marker is keyed to the backend-relevant env: a success recorded
+    # WITHOUT the axon pool var (backend may have silently fallen back to
+    # CPU) must not be trusted by a tunnel-bound launch with it set
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "10.0.0.1")
+    _FakeCompleted.returncode = 0
+    assert profiling.probe_backend(timeout_s=1.0)
+    assert len(calls) == 3                          # fingerprint miss -> re-probe
+    assert profiling.probe_backend(timeout_s=1.0)
+    assert len(calls) == 3                          # matching fingerprint hits
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS")
+
+    # PLCG_PROBE_TTL=0 disables the marker without code changes
+    monkeypatch.setenv("PLCG_PROBE_TTL", "0")
+    assert profiling.probe_backend(timeout_s=1.0)
+    assert len(calls) == 4
+    monkeypatch.delenv("PLCG_PROBE_TTL")
 
     marker.unlink()
     _FakeCompleted.returncode = 1
