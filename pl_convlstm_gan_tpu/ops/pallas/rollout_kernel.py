@@ -95,18 +95,19 @@ def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
     return xh + cb + acc + wts + io
 
 
-def _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm=False,
-             n_cells=2) -> int:
-    """Batch items per kernel invocation. MEASURED NEGATIVE (round 3): folding
-    nb=4 into the matmul M dim at the bench shape multiplies Mosaic's fully-
+def _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm=False,
+               n_cells=2) -> bool:
+    """True when one batch item's rollout state fits the VMEM budget.
+
+    The kernel processes batch items one per grid step (nb=1, the leading
+    block dim). Folding nb>1 items into the matmul M dim was a MEASURED
+    NEGATIVE (round 3): nb=4 at the bench shape multiplies Mosaic's fully-
     unrolled vector code by nb and the kernel compile went from ~2 min to
     >35 min (killed) — while at equal vector-register footprint (smaller row
-    tile) batching saves zero ops. nb stays 1; the grid runs batch items
-    sequentially, which the measured 28.6% win already includes."""
-    if _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm,
-                  n_cells) <= _VMEM_LIMIT:
-        return 1
-    return 0
+    tile) batching saves zero ops. The measured 28.6% win already includes
+    the sequential-batch grid."""
+    return _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm,
+                      n_cells) <= _VMEM_LIMIT
 
 
 def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
@@ -130,16 +131,15 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
         return False
     if (2 * ch) % 128:  # packed (h|x) / (h|h) lane layout must tile cleanly
         return False
-    return _pick_nb(t_in, t_out, b, h, w, ch, itemsize, warm, n_cells) >= 1
+    return _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm, n_cells)
 
 
 def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                   tile: int, nb: int, n_cells: int, warm: bool):
-    """``nb`` batch items are processed TOGETHER: the batch folds into the
-    matmul M dimension (windows reshape [nb, tile, W, lanes] ->
-    [nb*tile*W, lanes]), so per-tile slice/gate overheads amortize over the
-    batch and the MXU sees larger contractions. Per-item halos stay correct
-    because padding borders are per item in the [nb, H+2, Wp, lanes] slabs.
+    """``nb`` is pinned to 1 (one batch item per grid step; the leading
+    block-spec dim). The shape algebra below keeps the nb symbol because the
+    leading block dim exists regardless — but nb>1 is a recorded compile-time
+    negative (see _fits_vmem), so treat every [nb, ...] as [1, ...].
 
     Positional refs (pallas_call order — inputs, outputs, scratch):
     frames, [h0, c0 (warm)], w/b per cell, wh, bh | out | xh per cell,
@@ -301,9 +301,9 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     dtype = frames.dtype
     tile = _pick_tile(hgt)
     warm = h0 is not None
-    nb = _pick_nb(t_in, t_out, b, hgt, wid, ch, jnp.dtype(dtype).itemsize,
-                  warm, n_cells)
-    if nb < 1:
+    nb = 1   # one batch item per grid step; see _fits_vmem for why not more
+    if not _fits_vmem(t_in, t_out, hgt, wid, ch, jnp.dtype(dtype).itemsize,
+                      warm, n_cells):
         raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
 
     body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
@@ -413,7 +413,11 @@ def rollout_pallas(params, frames, t_out: int,
     cells = _cells_from_core(core)
     ch = cells[0].kernel.shape[-1] // 4
     b, t_in, c, hgt, wid = frames.shape
-    assert c == 1, "rollout kernel supports 1-channel frames"
+    if c != 1:
+        # ValueError, not assert: direct callers may bypass rollout_pallas_fits,
+        # and under python -O a stripped assert would silently drop channels 1+
+        raise ValueError("rollout kernel supports 1-channel frames, got "
+                         f"{c} channels")
 
     packed = _pack_weights(cells, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
@@ -441,8 +445,12 @@ def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
     (streaming.py), parity pinned in tests/test_pallas.py."""
     cell_params = _cells_from_core(core)
     ch = cell_params[0].kernel.shape[-1] // 4
-    assert prev_out.shape[-1] == 1, "rollout kernel supports 1-channel frames"
-    assert len(cells) == len(cell_params)
+    if prev_out.shape[-1] != 1:
+        raise ValueError("rollout kernel supports 1-channel frames, got "
+                         f"{prev_out.shape[-1]} channels")
+    if len(cells) != len(cell_params):
+        raise ValueError(f"{len(cells)} state pairs for "
+                         f"{len(cell_params)} cells")
 
     packed = _pack_weights(cell_params, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)

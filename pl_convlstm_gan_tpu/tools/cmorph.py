@@ -23,9 +23,9 @@ from __future__ import annotations
 import argparse
 import os
 
-
-def is_leap_year(year: int) -> bool:
-    return (year % 4 == 0 and year % 100 != 0) or (year % 400 == 0)
+# numpy-only import — keeps this tool runnable without jax/geo deps while
+# sharing one calendar implementation with the dataset layer
+from ..data.fenhe import days_in_year
 
 
 def normalize_crs(gdf):
@@ -74,7 +74,7 @@ def qc_hourly_times(times, year: int) -> dict:
 
     times = pd.DatetimeIndex(times)
     dups = times[times.duplicated()]
-    expected_hours = (366 if is_leap_year(year) else 365) * 24
+    expected_hours = days_in_year(year) * 24
     msgs = []
     if len(dups) > 0:
         msgs.append(f"WARNING: {len(dups)} duplicate timestamps "
@@ -134,7 +134,7 @@ def daily_accumulations(values, times, year: int) -> dict:
         "hydro_08-08": df.resample("1D").sum(min_count=24),
         "cma_20-20": df.shift(-12).resample("1D").sum(min_count=24),
     }
-    expected_days = 366 if is_leap_year(year) else 365
+    expected_days = days_in_year(year)
     out, msgs = {}, []
     for name, d in daily.items():
         arr = d.to_numpy().astype(np.float32).reshape(len(d), h, w)
@@ -159,9 +159,12 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     ds = xr.open_mfdataset(nc_glob, combine="by_coords")
     var = "cmorph" if "cmorph" in ds else list(ds.data_vars)[0]
 
-    # longitude 0..360 -> -180..180, sorted (reference cmorph.py:31-34)
-    if float(ds.lon.max()) > 180:
-        ds = ds.assign_coords(lon=(((ds.lon + 180) % 360) - 180)).sortby("lon")
+    # longitude 0..360 -> -180..180 (identity for data already in range), then
+    # BOTH axes sorted ascending — unconditionally, as the reference does
+    # (cmorph.py:31-33): descending-lat files and post-conversion lon
+    # disorder would otherwise silently flip/empty the mask and crop
+    ds = ds.assign_coords(lon=(((ds.lon + 180) % 360) - 180))
+    ds = ds.sortby(["lon", "lat"])
 
     # basin polygon mask, CRS-normalized first (reference cmorph.py:37-58)
     gdf = normalize_crs(gpd.read_file(shp_path))
@@ -173,11 +176,13 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     # bbox (reference cmorph.py:61-72; see mask_valid_extent)
     lon_min, lon_max, lat_min, lat_max = mask_valid_extent(
         basin.transpose("lat", "lon").values, ds.lon.values, ds.lat.values)
+    # both axes are ascending after the sortby above, so plain min..max
+    # slices select correctly; pin the dim order the numpy cores and the
+    # lat-major CSV headers below assume (a (time, lon, lat)-stored variable
+    # would otherwise flow through transposed, silently)
     masked = pre_crop.sel(lon=slice(lon_min, lon_max),
                           lat=slice(lat_min, lat_max))
-    if masked.lat.size == 0:  # descending-lat files
-        masked = pre_crop.sel(lon=slice(lon_min, lon_max),
-                              lat=slice(lat_max, lat_min))
+    masked = masked.transpose("time", "lat", "lon")
 
     # QC report (reference cmorph.py:74-106), then dedupe (an improvement over
     # the reference, which only reports duplicates)

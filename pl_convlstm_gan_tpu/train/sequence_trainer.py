@@ -304,7 +304,10 @@ class SequenceTrainer:
                                                 step_rng)
             metrics_acc.append(m)
             if i % self.config.output.log_interval == 0:
-                mf = {k: float(v) for k, v in m.items()}
+                # ONE batched fetch — per-key float(v) would pay one ~26 ms
+                # device sync per metric through the tunnel (CLAUDE.md)
+                mf = {k: float(v) for k, v in
+                      zip(m.keys(), jax.device_get(list(m.values())))}
                 if self.is_gan:
                     print(f"Epoch {epoch} | G: {mf['g_total']:.4f} "
                           f"(adv {mf['g_adv']:.4f}, l1 {mf['g_l1']:.4f}) | "

@@ -338,3 +338,224 @@ def test_normalize_crs_sets_missing_and_reprojects():
     # reprojection), matching the reference's exact branch structure
     geo = FakeGdf("EPSG:4326")
     assert normalize_crs(geo).crs == "EPSG:4326"
+
+
+# ---------------------------------------------------------------------------
+# raster-glue execution: process_cmorph_to_fenhe end-to-end on fake geo deps
+# ---------------------------------------------------------------------------
+# The image has no xarray/regionmask/geopandas (zero egress), so the glue
+# around the test-pinned numpy cores had never executed. These minimal fakes
+# implement exactly the xarray semantics the glue uses (coordinate-labelled
+# sel/sortby/where/transpose), which is enough to pin the three silent
+# misalignment bugs the glue guards against: descending-latitude files,
+# unsorted longitudes after 0..360 conversion, and a variable stored
+# (time, lon, lat) instead of (time, lat, lon).
+
+class _FakeCoord:
+    def __init__(self, v):
+        self.values = np.asarray(v)
+
+    def __add__(self, o):
+        return _FakeCoord(self.values + o)
+
+    def __mod__(self, o):
+        return _FakeCoord(self.values % o)
+
+    def __sub__(self, o):
+        return _FakeCoord(self.values - o)
+
+    def max(self):
+        return self.values.max()
+
+    @property
+    def size(self):
+        return self.values.size
+
+
+class _FakeDA:
+    """Dim-name-aware ndarray: the subset of xarray.DataArray the glue uses."""
+
+    def __init__(self, data, dims, coords):
+        self.data = np.asarray(data)
+        self.dims = tuple(dims)
+        self.coords = dict(coords)
+
+    @property
+    def values(self):
+        return self.data
+
+    def __getattr__(self, name):
+        if name in ("lat", "lon", "time"):
+            return _FakeCoord(self.coords[name])
+        raise AttributeError(name)
+
+    def isel(self, **kw):
+        data, dims, coords = self.data, list(self.dims), dict(self.coords)
+        for d, idx in kw.items():
+            ax = dims.index(d)
+            data = np.take(data, idx, axis=ax)
+            if np.ndim(idx) == 0:
+                dims.pop(ax)
+                coords.pop(d, None)
+            elif d in coords:
+                coords[d] = np.asarray(coords[d])[idx]
+        return _FakeDA(data, dims, coords)
+
+    def sel(self, **kw):
+        out = self
+        for d, sl in kw.items():
+            coord = np.asarray(out.coords[d])
+            idx = np.where((coord >= sl.start) & (coord <= sl.stop))[0]
+            out = out.isel(**{d: idx})
+        return out
+
+    def where(self, cond):
+        order = [cond.dims.index(d) for d in self.dims if d in cond.dims]
+        c = np.transpose(cond.data, order)
+        for i, d in enumerate(self.dims):
+            if d not in cond.dims:
+                c = np.expand_dims(c, i)
+        return _FakeDA(np.where(c, self.data, np.nan), self.dims, self.coords)
+
+    def transpose(self, *dims):
+        perm = [self.dims.index(d) for d in dims]
+        return _FakeDA(np.transpose(self.data, perm), dims, self.coords)
+
+    def sortby_dim(self, d):
+        order = np.argsort(np.asarray(self.coords[d]), kind="stable")
+        out = self.isel(**{d: order})
+        return out
+
+
+class _FakeDS:
+    def __init__(self, name, da):
+        self.data_vars = {name: da}
+
+    def __contains__(self, k):
+        return k in self.data_vars
+
+    def __getitem__(self, k):
+        return self.data_vars[k]
+
+    def __getattr__(self, name):
+        if name in ("lat", "lon", "time"):
+            (da,) = self.data_vars.values()
+            return _FakeCoord(da.coords[name])
+        raise AttributeError(name)
+
+    def assign_coords(self, **kw):
+        ((name, da),) = self.data_vars.items()
+        coords = dict(da.coords)
+        for k, v in kw.items():
+            coords[k] = np.asarray(getattr(v, "values", v))
+        return _FakeDS(name, _FakeDA(da.data, da.dims, coords))
+
+    def sortby(self, names):
+        ((name, da),) = self.data_vars.items()
+        for d in names:
+            da = da.sortby_dim(d)
+        return _FakeDS(name, da)
+
+
+def _install_fake_geo(monkeypatch, ds, gdf_bounds, mask_fn=None):
+    """sys.modules fakes for xarray / regionmask / geopandas; returns the gdf."""
+    import sys
+    import types
+
+    xr = types.ModuleType("xarray")
+    xr.open_mfdataset = lambda glob, **kw: ds
+
+    class Gdf:
+        crs = "EPSG:4326"
+        total_bounds = gdf_bounds
+
+        def to_crs(self, crs):
+            return self
+
+    gdf = Gdf()
+    gpd = types.ModuleType("geopandas")
+    gpd.read_file = lambda path: gdf
+
+    def mask_3d(g, lon, lat):
+        lon_v, lat_v = np.asarray(lon.values), np.asarray(lat.values)
+        lon_lo, lat_lo, lon_hi, lat_hi = g.total_bounds
+        m = ((lat_v[:, None] >= lat_lo) & (lat_v[:, None] <= lat_hi)
+             & (lon_v[None, :] >= lon_lo) & (lon_v[None, :] <= lon_hi))
+        return _FakeDA(m[None], ("region", "lat", "lon"),
+                       {"lat": lat_v, "lon": lon_v})
+
+    rm = types.ModuleType("regionmask")
+    rm.mask_3D_geopandas = mask_fn or mask_3d
+    monkeypatch.setitem(sys.modules, "xarray", xr)
+    monkeypatch.setitem(sys.modules, "geopandas", gpd)
+    monkeypatch.setitem(sys.modules, "regionmask", rm)
+    return gdf
+
+
+def _hostile_cmorph_ds():
+    """2 full days of hourly data for 2021 with every coordinate hazard at
+    once: descending lat, unsorted >180 lon, variable stored (time,lon,lat).
+    Cell values are a function of the TRUE coordinates so any flip/transpose
+    shows up as wrong numbers, not just wrong shapes."""
+    times = pd.date_range("2021-01-01", periods=48, freq="h").values
+    lat_raw = np.array([2.0, 1.0, 0.0])              # descending
+    lon_raw = np.array([352.0, 350.0, 351.0])        # unsorted, 0..360
+    lon_conv = ((lon_raw + 180) % 360) - 180         # [-8, -10, -9]
+    t_idx = np.arange(48, dtype=np.float64)
+    # data[t, lon, lat] = t + 10*lat + 100*lon_converted
+    data = (t_idx[:, None, None] + 10.0 * lat_raw[None, None, :]
+            + 100.0 * lon_conv[None, :, None])
+    da = _FakeDA(data, ("time", "lon", "lat"),
+                 {"time": times, "lat": lat_raw, "lon": lon_raw})
+    return _FakeDS("cmorph", da), lat_raw, lon_conv
+
+
+def test_process_cmorph_glue_sorts_transposes_and_crops(monkeypatch, tmp_path):
+    from pl_convlstm_gan_tpu.tools.cmorph import process_cmorph_to_fenhe
+
+    ds, _, _ = _hostile_cmorph_ds()
+    # basin bbox covers lat {1, 2} x lon {-9, -8} — excludes lat 0 and lon -10
+    _install_fake_geo(monkeypatch, ds, gdf_bounds=(-9.5, 0.5, -7.5, 2.5))
+
+    out = process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
+                                  make_plot=False)
+
+    # expected grid: lat ascending [1, 2], lon ascending [-9, -8]
+    lats, lons = np.array([1.0, 2.0]), np.array([-9.0, -8.0])
+    cell = 10.0 * lats[:, None] + 100.0 * lons[None, :]
+    hydro = out["hydro_08-08"]
+    assert hydro.shape == (2, 2, 2)
+    # day 1 sums t=0..23, day 2 sums t=24..47 at each true-coordinate cell
+    np.testing.assert_allclose(hydro[0], np.sum(np.arange(24)) + 24 * cell,
+                               rtol=1e-6)
+    np.testing.assert_allclose(hydro[1], np.sum(np.arange(24, 48)) + 24 * cell,
+                               rtol=1e-6)
+    # 20-20 day 1 aggregates t=12..35; day 2 is NaN (last 12 source hours absent)
+    cma = out["cma_20-20"]
+    np.testing.assert_allclose(cma[0], np.sum(np.arange(12, 36)) + 24 * cell,
+                               rtol=1e-6)
+    assert np.isnan(cma[1]).all()
+
+    # CSV headers are lat-major over the SORTED cropped coordinates
+    import csv
+    with open(tmp_path / "fenhe_hydro_08-08_2021.csv") as f:
+        header = next(csv.reader(f))[1:]
+    assert header == ["1.000_-9.000", "1.000_-8.000",
+                      "2.000_-9.000", "2.000_-8.000"]
+    # npy written alongside
+    saved = np.load(tmp_path / "fenhe_cma_20-20_2021.npy")
+    np.testing.assert_allclose(saved, cma.astype(np.float32))
+
+
+def test_process_cmorph_glue_disjoint_basin_raises(monkeypatch, tmp_path):
+    """A shapefile that does not overlap the grid (e.g. an unnormalized
+    projected CRS compared against degrees) must fail loudly, not write
+    all-NaN output."""
+    from pl_convlstm_gan_tpu.tools.cmorph import process_cmorph_to_fenhe
+
+    ds, _, _ = _hostile_cmorph_ds()
+    _install_fake_geo(monkeypatch, ds,
+                      gdf_bounds=(400000.0, 4000000.0, 600000.0, 4300000.0))
+    with pytest.raises(ValueError, match="no valid cells"):
+        process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
+                                make_plot=False)
