@@ -559,3 +559,39 @@ def test_process_cmorph_glue_disjoint_basin_raises(monkeypatch, tmp_path):
     with pytest.raises(ValueError, match="no valid cells"):
         process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
                                 make_plot=False)
+
+
+def test_etl_tools_import_without_jax():
+    """The ETL tools run in an analysis environment (pandas/geo stack, no
+    device stack). Importing them must not pull in jax — a round-3 review
+    caught `from ..data.fenhe import days_in_year` dragging jax in via the
+    eager `data/__init__.py` -> `data.pipeline` chain (now lazy, PEP 562).
+    Runs in a -S subprocess because this image's sitecustomize preloads jax,
+    which would mask the regression in-process."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, importlib.abc\n"
+        "class Block(importlib.abc.MetaPathFinder):\n"
+        "    def find_spec(self, name, path=None, target=None):\n"
+        "        if name.split('.')[0] in ('jax', 'jaxlib'):\n"
+        "            raise ImportError('blocked: ' + name)\n"
+        "sys.meta_path.insert(0, Block())\n"
+        "import pl_convlstm_gan_tpu.tools.cmorph\n"
+        "import pl_convlstm_gan_tpu.tools.merge_multiyear\n"
+        "import pl_convlstm_gan_tpu.tools.compare_station\n"
+        "import pl_convlstm_gan_tpu.tools.station\n"
+        "import pl_convlstm_gan_tpu.tools.dem_lucc_to_npy\n"
+        "assert 'jax' not in sys.modules\n"
+        "print('ok')\n"
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    site = [p for p in sys.path if "site-packages" in p]
+    env = {"PYTHONPATH": os.pathsep.join([repo] + site),
+           "PATH": os.environ.get("PATH", "/usr/bin:/bin")}
+    r = subprocess.run([sys.executable, "-S", "-c", code],
+                       capture_output=True, text=True, env=env, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert r.stdout.strip() == "ok"
