@@ -220,6 +220,12 @@ class StreamingServer:
         self._forecasts = forecast_fns
         self._pallas_forecasts = pallas_forecast_fns or {}
         self._pallas_proven = set()   # horizons whose kernel ran OK once
+        # Serializes proven-set reads against drops: without it a first-use
+        # failure racing a concurrent first-use success on the same horizon
+        # could pop a kernel that just proved itself (silent permanent
+        # degradation) or mark a dropped horizon proven.
+        import threading
+        self._pallas_lock = threading.Lock()
 
     @property
     def horizons(self) -> Tuple[int, ...]:
@@ -265,17 +271,23 @@ class StreamingServer:
                 and state[1].shape[0] == self._meta.get("pallas_batch")):
             try:
                 out = jax.block_until_ready(pfn(state))
-                self._pallas_proven.add(horizon)
+                with self._pallas_lock:
+                    self._pallas_proven.add(horizon)
                 return out
             except Exception as e:  # fall back to the portable program
                 import warnings
-                if horizon in self._pallas_proven:
-                    scope = "for this request"
-                else:
-                    scope = "from now on"
-                    # pop, not del: two threads hitting the same broken
-                    # horizon must not raise KeyError inside the handler
-                    self._pallas_forecasts.pop(horizon, None)
+                # Decide and drop under one lock: the proven check must be
+                # atomic with the pop, or a failure racing a concurrent
+                # success on this horizon drops a kernel that just proved
+                # itself / marks a dropped horizon proven.
+                with self._pallas_lock:
+                    if horizon in self._pallas_proven:
+                        scope = "for this request"
+                    else:
+                        scope = "from now on"
+                        # pop, not del: two threads hitting the same broken
+                        # horizon must not raise KeyError inside the handler
+                        self._pallas_forecasts.pop(horizon, None)
                 warnings.warn(
                     f"embedded TPU kernel program for horizon {horizon} "
                     f"failed ({type(e).__name__}: {e}); serving the portable "

@@ -21,9 +21,31 @@ import numpy as np
 
 
 def load_satellite_csv(path: str):
-    """CSV from tools.cmorph: index=time, columns '{lat:.3f}_{lon:.3f}'
-    -> (times, lats, lons, values[time, cell]) (reference :33-51)."""
+    """Satellite daily-accumulation CSV -> (times, lats, lons, values[time, cell]).
+
+    Accepts BOTH on-disk formats, auto-detected from the header:
+
+    - ours (tools.cmorph): wide, index=time, one column per cell named
+      '{lat:.3f}_{lon:.3f}';
+    - the reference's (``/root/reference/src/scripts/cmorph.py:134-137``):
+      long, one row per (time, lat, lon) with a ``precip`` column and NaN
+      rows dropped at export — the format its ``compare_station.py:33-51``
+      pivots. Users migrating with existing reference-produced exports feed
+      them here unchanged; cells missing on a given day (the dropped NaN
+      rows) reappear as NaN and are masked by ``compute_metrics`` like any
+      other missing observation."""
     import pandas as pd
+    header_cols = set(pd.read_csv(path, nrows=0).columns)
+    if {"time", "lat", "lon", "precip"} <= header_cols:
+        df = pd.read_csv(path, parse_dates=["time"])
+        df = df.dropna(subset=["precip"])
+        if df.empty:
+            raise ValueError(f"{path} contains no valid precip records")
+        pivot = df.pivot_table(index="time", columns=["lat", "lon"],
+                               values="precip").sort_index()
+        coords = np.array(list(pivot.columns), dtype=np.float64)
+        return (pivot.index, coords[:, 0], coords[:, 1],
+                pivot.to_numpy(dtype=np.float32))
     df = pd.read_csv(path, index_col=0, parse_dates=True)
     coords = np.array([[float(p) for p in c.split("_")] for c in df.columns])
     return df.index, coords[:, 0], coords[:, 1], df.to_numpy(dtype=np.float32)
