@@ -170,6 +170,17 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     gdf = normalize_crs(gpd.read_file(shp_path))
     mask = regionmask.mask_3D_geopandas(gdf, ds.lon, ds.lat)
     basin = mask.isel(region=0)
+    # mask sanity QC (reference cmorph.py:47-52 debug prints): an empty or
+    # full mask means a CRS/extent mismatch — surface it before aggregation
+    bvals = basin.values
+    n_in = int(np.sum(bvals == True))        # noqa: E712 — may be float-NaN mask
+    n_out = int(np.sum(bvals == False))      # noqa: E712
+    print(f"[QC] {year}: basin mask {bvals.shape}: {n_in} cells inside, "
+          f"{n_out} outside")
+    if n_in == 0:
+        raise ValueError(
+            "basin mask has no valid cells — shapefile extent/CRS does not "
+            "overlap the CMORPH grid (check lon convention and the .prj)")
     pre_crop = ds[var].where(basin)
 
     # crop to the min rectangle of the mask's VALID cells, not the polygon
@@ -202,7 +213,7 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     for m in acc.pop("messages"):
         print(f"[QC] {year}: {m}")
 
-    results = {}
+    results, result_dates = {}, {}
     for name, (arr, dates) in acc.items():
         npy_path = os.path.join(out_dir, f"fenhe_{name}_{year}.npy")
         np.save(npy_path, arr)
@@ -213,10 +224,19 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
         pd.DataFrame(flat, index=dates, columns=cols).to_csv(
             os.path.join(out_dir, f"fenhe_{name}_{year}.csv"))
         results[name] = arr
+        result_dates[name] = dates
         print(f"saved {npy_path} {arr.shape}")
+
+    # post-crop extent report (reference cmorph.py:172-175)
+    lon_v, lat_v = masked.lon.values, masked.lat.values
+    print(f"[QC] {year}: cropped extent lon {lon_v.min():.2f}~{lon_v.max():.2f},"
+          f" lat {lat_v.min():.2f}~{lat_v.max():.2f}")
 
     if make_plot:
         _comparison_plot(results, out_dir, year)
+        _spatial_comparison_plot(results, result_dates,
+                                 masked.lon.values, masked.lat.values,
+                                 out_dir, year)
     return results
 
 
@@ -238,6 +258,56 @@ def _comparison_plot(results, out_dir: str, year: int):
     plt.legend()
     plt.tight_layout()
     path = os.path.join(out_dir, f"accumulation_comparison_{year}.png")
+    plt.savefig(path, dpi=150)
+    plt.close()
+    print(f"saved {path}")
+
+
+def pick_spatial_sample_day(dates, arrs, year: int):
+    """Index of the day to map spatially: the reference's fixed July 10
+    (cmorph.py:144-176) when it exists with data; otherwise the wettest
+    basin-mean day across the systems (a fixed date on a partial year would
+    plot an all-NaN panel)."""
+    import numpy as np
+    import pandas as pd
+    idx = pd.DatetimeIndex(dates)
+    target = pd.Timestamp(year=year, month=7, day=10)
+    pos = idx.get_indexer([target])
+    if pos[0] >= 0 and any(np.isfinite(a[pos[0]]).any() for a in arrs):
+        return int(pos[0])
+    means = np.nansum([np.where(np.isfinite(a), a, 0.0)
+                       .reshape(a.shape[0], -1).mean(1) for a in arrs], axis=0)
+    return int(np.argmax(means))
+
+
+def _spatial_comparison_plot(results, result_dates, lons, lats,
+                             out_dir: str, year: int):
+    """Side-by-side spatial precipitation maps for one sample date — the
+    reference's comparison view (cmorph.py:144-176: one panel per
+    accumulation system, Blues, 0..50 mm/day)."""
+    import numpy as np
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    names = list(results)
+    first = names[0]
+    day = pick_spatial_sample_day(result_dates[first],
+                                  [results[n] for n in names], year)
+    date_label = str(np.asarray(result_dates[first])[day])[:10]
+    fig, axes = plt.subplots(1, len(names), figsize=(7.5 * len(names), 6),
+                             squeeze=False)
+    extent = [float(lons.min()), float(lons.max()),
+              float(lats.min()), float(lats.max())]
+    for ax, name in zip(axes[0], names):
+        im = ax.imshow(results[name][day], origin="lower", extent=extent,
+                       cmap="Blues", vmin=0, vmax=50, aspect="auto")
+        ax.set_title(f"{name} ({date_label})")
+        ax.set_xlabel("longitude (deg)")
+        ax.set_ylabel("latitude (deg)")
+        fig.colorbar(im, ax=ax, label="mm/day")
+    plt.tight_layout()
+    path = os.path.join(out_dir, f"spatial_comparison_{year}.png")
     plt.savefig(path, dpi=150)
     plt.close()
     print(f"saved {path}")

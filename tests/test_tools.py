@@ -595,6 +595,34 @@ def test_process_cmorph_glue_sorts_transposes_and_crops(monkeypatch, tmp_path):
     np.testing.assert_allclose(saved, cma.astype(np.float32))
 
 
+def test_process_cmorph_plots_and_sample_day(monkeypatch, tmp_path):
+    """make_plot=True writes BOTH comparison views: the basin-mean series and
+    the reference's side-by-side spatial maps (reference cmorph.py:144-176);
+    the sample-day picker prefers July 10 and falls back to the wettest day."""
+    from pl_convlstm_gan_tpu.tools.cmorph import (pick_spatial_sample_day,
+                                                  process_cmorph_to_fenhe)
+
+    ds, _, _ = _hostile_cmorph_ds()
+    _install_fake_geo(monkeypatch, ds, gdf_bounds=(-9.5, 0.5, -7.5, 2.5))
+    process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
+                            make_plot=True)
+    assert (tmp_path / "accumulation_comparison_2021.png").exists()
+    assert (tmp_path / "spatial_comparison_2021.png").exists()
+
+    # picker: July 10 present with data -> fixed reference date
+    dates = pd.date_range("2021-07-01", periods=20)
+    arr = np.ones((20, 2, 2), dtype=np.float32)
+    assert pick_spatial_sample_day(dates, [arr], 2021) == 9
+    # July 10 present but all-NaN that day -> wettest fallback
+    arr2 = arr.copy()
+    arr2[9] = np.nan
+    arr2[4] = 7.0
+    assert pick_spatial_sample_day(dates, [arr2], 2021) == 4
+    # July 10 absent (partial year) -> wettest fallback
+    jan = pd.date_range("2021-01-01", periods=5)
+    assert pick_spatial_sample_day(jan, [arr2[:5]], 2021) == 4
+
+
 def test_process_cmorph_glue_disjoint_basin_raises(monkeypatch, tmp_path):
     """A shapefile that does not overlap the grid (e.g. an unnormalized
     projected CRS compared against degrees) must fail loudly, not write
