@@ -29,24 +29,33 @@ BATCH, T_IN, T_OUT, SIZE, HIDDEN = 4, 5, 10, 128, (64, 64)
 
 def main():
     # --cells 3 [--t-out N] benches the flagship 3-cell nowcast_128 family
-    # (hidden (64,64,64), default 20-out) instead of the bench serving shape
+    # (hidden (64,64,64), default 20-out) instead of the bench serving shape;
+    # --size 256 --t-out 30 --batch 1 is the config-#5 serving shape and
+    # --io-mode resident|streamed forces an I/O variant (A/B both at shapes
+    # where both fit; 'auto' picks resident when it fits)
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=2, choices=(2, 3))
     ap.add_argument("--t-out", type=int, default=0)
+    ap.add_argument("--size", type=int, default=SIZE)
+    ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--io-mode", default="auto",
+                    choices=("auto", "resident", "streamed"))
     args = ap.parse_args()
     hidden = (64,) * args.cells
     t_out = args.t_out or (20 if args.cells == 3 else T_OUT)
+    size, batch = args.size, args.batch
 
     rng = np.random.default_rng(0)
-    frames = jnp.asarray(rng.random((BATCH, T_IN, 1, SIZE, SIZE)),
+    frames = jnp.asarray(rng.random((batch, T_IN, 1, size, size)),
                          jnp.float32)
     model = ConvLSTMForecaster(hidden_dims=hidden, input_frames=T_IN,
                                output_frames=t_out, dtype=jnp.bfloat16)
     params = model.init(jax.random.PRNGKey(0), frames)
 
     xla_fn = jax.jit(lambda p, x: model.apply(p, x))
-    pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16))
+    pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16,
+                                                io_mode=args.io_mode))
 
     # numerics first (bf16 tolerance)
     ref = xla_fn(params, frames)
@@ -75,7 +84,7 @@ def main():
             times[name].append((time.perf_counter() - start) / 10)
     for name, _ in fns:
         p50 = float(np.median(times[name]))
-        fps = BATCH * t_out / p50
+        fps = batch * t_out / p50
         print(f"{name}: p50 {p50 * 1e3:.2f} ms/rollout "
               f"({fps:.0f} frames/s)", flush=True)
 

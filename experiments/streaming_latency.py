@@ -52,13 +52,20 @@ def _config() -> Config:
 def main():
     from pl_convlstm_gan_tpu.streaming import StreamingForecaster
 
-    # --cells 3 runs the flagship 3-cell nowcast_128 state geometry instead
+    # --cells 3 runs the flagship 3-cell nowcast_128 state geometry instead;
+    # --size 256 runs the config-#5 serving resolution (whose warm-start
+    # budget only the streamed-I/O kernel variant fits); --io-mode forces a
+    # kernel I/O variant for A/Bs where both fit
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--cells", type=int, default=2, choices=(2, 3))
+    ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--io-mode", default="auto",
+                    choices=("auto", "resident", "streamed"))
     args = ap.parse_args()
-    global HIDDEN
+    global HIDDEN, SIZE
     HIDDEN = (64,) * args.cells
+    SIZE = args.size
 
     cfg = _config()
     rng = np.random.default_rng(0)
@@ -101,7 +108,7 @@ def main():
                 1, horizon, BATCH, 1, SIZE, SIZE, HIDDEN, 3, itemsize,
                 warm=True):
             pl_fn = jax.jit(lambda c, p, h=horizon: rollout_pallas_from_state(
-                core_vars, c, p, h, jnp.bfloat16))
+                core_vars, c, p, h, jnp.bfloat16, io_mode=args.io_mode))
             out = pl_fn(warm.cells, warm.prev_out)
             err = float(jnp.abs(out - ref).max())
             pres = benchmark_chained(

@@ -21,8 +21,9 @@ Grid over the batch. Per batch item:
 
 Row tiling over H keeps the accumulator block small; the padded input is materialized
 once per batch item. The wrapper falls back to the XLA path when the estimated VMEM
-footprint exceeds the budget (large H*W*C); a DMA-pipelined variant for those shapes
-is future work.
+footprint exceeds the budget (large H*W*C); for multi-step inference at such shapes
+the DMA-pipelined (streamed-I/O) rollout kernel applies instead
+(ops/pallas/rollout_kernel.py, round 4).
 
 Backward: ``custom_vjp``. The fwd rule re-runs the kernel with the pre-activation
 ``z`` as an extra output (residual); the bwd pass is cheap elementwise gate algebra

@@ -34,6 +34,18 @@ Kernel layout (per batch item; grid = (B,)):
 - The time loop runs as a ``fori_loop`` over step PAIRS so the buffer
   ping-pong stays static inside the body; an odd trailing step is unrolled.
 
+Two I/O variants share the body (``pick_io_mode`` chooses per shape):
+- **resident** (default where it fits): frames and the whole output live in
+  VMEM as pipelined blocks — the round-3 variant, measured -28.6% vs the XLA
+  scan at the bench shape;
+- **streamed** (round 4): frames/outputs (and warm seeds) stay HBM-resident;
+  per-step frames arrive and predictions depart through double-buffered
+  ``make_async_copy`` DMAs overlapping the cell compute, and warm seeds stage
+  through one VMEM buffer. I/O then costs ~4 frame-slots of VMEM instead of
+  t_in + 2*t_out frames + 2 seed blocks — which is what admits the
+  256x256/30-frame serving family (config #5 shapes) that the resident
+  warm-start budget cannot fit.
+
 Reference semantics: this computes exactly
 ``ConvLSTMForecaster.apply(params, frames)`` (models/forecaster.py) for the
 supported family — parity pinned in tests/test_pallas.py.
@@ -65,6 +77,13 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 # validated — flip to (2, 3) once compiled + timed on-device.
 _MOSAIC_VALIDATED_CELLS = (2,)
 
+# Same gate for the streamed-I/O variant (frames/outputs/warm seeds resident
+# in HBM, double-buffered per-step DMA): parity-exact in interpret mode and
+# client-side TPU lowering pinned, but its server-side Mosaic compile has not
+# run on hardware yet — flip once compiled + timed (the shapes it exists for,
+# 256x256 serving, only fit THIS variant's budget).
+_MOSAIC_VALIDATED_STREAMED = False
+
 
 def _pick_tile(h: int) -> int:
     for cand in (16, 8, 4, 2, 1):
@@ -78,8 +97,13 @@ def _wp(wid: int) -> int:
     return -((-(wid + 2)) // 16) * 16
 
 
+def _seed_lanes(n_cells: int, ch: int) -> int:
+    """Packed warm-seed lane count, padded up to the 128-lane tile."""
+    return -((-n_cells * ch) // 128) * 128
+
+
 def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
-               n_cells=2) -> int:
+               n_cells=2, streamed=False) -> int:
     lanes = 2 * ch
     wp = _wp(w)
     tile = _pick_tile(h)
@@ -88,15 +112,21 @@ def _vmem_cost(t_in, t_out, nb, h, w, ch, itemsize, warm=False,
     cb = nb * h * w * (lanes + (ch if n_cells > 2 else 0)) * itemsize
     acc = nb * tile * w * 4 * ch * 4
     wts = n_cells * 9 * lanes * 4 * ch * itemsize
-    io = nb * (t_in + 2 * t_out) * h * w * itemsize
-    if warm:  # the packed (h0, c0) seeds live in VMEM, lane-padded to 128
-        seed_lanes = -((-n_cells * ch) // 128) * 128
-        io += 2 * nb * h * w * seed_lanes * itemsize
+    if streamed:
+        # frames/outputs stay in HBM: 2 double-buffered frame slots in, 2
+        # staging slots out; a warm start adds one (h0|c0) staging buffer
+        io = 4 * nb * h * w * itemsize
+        if warm:
+            io += nb * h * w * _seed_lanes(n_cells, ch) * itemsize
+    else:
+        io = nb * (t_in + 2 * t_out) * h * w * itemsize
+        if warm:  # the packed (h0, c0) seeds live in VMEM, lane-padded to 128
+            io += 2 * nb * h * w * _seed_lanes(n_cells, ch) * itemsize
     return xh + cb + acc + wts + io
 
 
 def _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm=False,
-               n_cells=2) -> bool:
+               n_cells=2, streamed=False) -> bool:
     """True when one batch item's rollout state fits the VMEM budget.
 
     The kernel processes batch items one per grid step (nb=1, the leading
@@ -107,22 +137,13 @@ def _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm=False,
     tile) batching saves zero ops. The measured 28.6% win already includes
     the sequential-batch grid."""
     return _vmem_cost(t_in, t_out, 1, h, w, ch, itemsize, warm,
-                      n_cells) <= _VMEM_LIMIT
+                      n_cells, streamed) <= _VMEM_LIMIT
 
 
-def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
-                        hidden_dims, kernel_size: int, itemsize: int,
-                        warm: bool = False, auto: bool = False) -> bool:
-    """Static dispatch check for the supported shape family + VMEM budget.
-
-    ``auto=True`` (implicit selection paths) additionally restricts to the
-    on-device-validated ``_MOSAIC_VALIDATED_CELLS`` families; explicit user
-    opt-in (``rollout_impl: pallas``) passes ``auto=False``."""
+def _family_ok(t_in, t_out, c, h, w, hidden_dims, kernel_size) -> bool:
     n_cells = len(hidden_dims)
     if n_cells not in (2, 3) or any(d != hidden_dims[0]
                                     for d in hidden_dims[1:]):
-        return False
-    if auto and n_cells not in _MOSAIC_VALIDATED_CELLS:
         return False
     ch = hidden_dims[0]
     if c != 1 or kernel_size != 3 or t_in < 1 or t_out < 1:
@@ -131,11 +152,49 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
         return False
     if (2 * ch) % 128:  # packed (h|x) / (h|h) lane layout must tile cleanly
         return False
-    return _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm, n_cells)
+    return True
+
+
+def pick_io_mode(t_in, t_out, h, w, ch, itemsize, warm=False, n_cells=2,
+                 auto: bool = False):
+    """Resolve the kernel I/O variant for a shape: ``"resident"`` (frames and
+    outputs VMEM-resident — the measured-fastest variant where it fits),
+    ``"streamed"`` (HBM-resident I/O with double-buffered per-step DMA — the
+    only variant whose budget admits the 256x256 serving family), or ``None``
+    (neither fits / not validated for implicit selection)."""
+    if _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm, n_cells):
+        return "resident"
+    if _fits_vmem(t_in, t_out, h, w, ch, itemsize, warm, n_cells,
+                  streamed=True):
+        if auto and not _MOSAIC_VALIDATED_STREAMED:
+            return None
+        return "streamed"
+    return None
+
+
+def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
+                        hidden_dims, kernel_size: int, itemsize: int,
+                        warm: bool = False, auto: bool = False) -> bool:
+    """Static dispatch check for the supported shape family + VMEM budget
+    (either I/O variant — ``pick_io_mode`` chooses which one serves).
+
+    ``auto=True`` (implicit selection paths) additionally restricts to the
+    on-device-validated ``_MOSAIC_VALIDATED_CELLS`` families / validated I/O
+    variants; explicit user opt-in (``rollout_impl: pallas``) passes
+    ``auto=False``."""
+    if not _family_ok(t_in, t_out, c, h, w, hidden_dims, kernel_size):
+        return False
+    n_cells = len(hidden_dims)
+    if auto and n_cells not in _MOSAIC_VALIDATED_CELLS:
+        return False
+    ch = hidden_dims[0]
+    return pick_io_mode(t_in, t_out, h, w, ch, itemsize, warm, n_cells,
+                        auto) is not None
 
 
 def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
-                  tile: int, nb: int, n_cells: int, warm: bool):
+                  tile: int, nb: int, n_cells: int, warm: bool,
+                  streamed: bool = False):
     """``nb`` is pinned to 1 (one batch item per grid step; the leading
     block-spec dim). The shape algebra below keeps the nb symbol because the
     leading block dim exists regardless — but nb>1 is a recorded compile-time
@@ -143,7 +202,11 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
 
     Positional refs (pallas_call order — inputs, outputs, scratch):
     frames, [h0, c0 (warm)], w/b per cell, wh, bh | out | xh per cell,
-    cell-state buffer(s) (c1|c2 packed; a second buffer holds c3)."""
+    cell-state buffer(s) (c1|c2 packed; a second buffer holds c3).
+    ``streamed`` appends: fr slots, out staging, [seed staging], frame/out
+    DMA semaphores, [seed semaphore] — frames/out/(h0,c0) are then whole
+    HBM-resident arrays indexed by ``pl.program_id`` and moved by
+    double-buffered async copies instead of pipelined VMEM blocks."""
     i = 0
     frames_ref = refs[i]; i += 1
     h0_ref = c0_ref = None
@@ -154,7 +217,16 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
     wh_ref, bh_ref = refs[i], refs[i + 1]; i += 2
     out_ref = refs[i]; i += 1
     xh_refs = list(refs[i:i + n_cells]); i += n_cells
-    cbuf_refs = list(refs[i:])
+    n_cbufs = 1 if n_cells <= 2 else 2
+    cbuf_refs = list(refs[i:i + n_cbufs]); i += n_cbufs
+    if streamed:
+        fr_vmem = refs[i]; i += 1
+        ostage = refs[i]; i += 1
+        sstage = None
+        if warm:
+            sstage = refs[i]; i += 1
+        fsem, osem = refs[i], refs[i + 1]; i += 2
+        ssem = refs[i] if warm else None
     # cell k's state lives in (buffer, lane0): c1|c2 pack the first buffer
     c_slot = [(cbuf_refs[k // 2], (k % 2) * ch) for k in range(n_cells)]
 
@@ -162,6 +234,21 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
     n_tiles = hgt // tile
     steps = t_in + t_out - 1
     m = nb * tile * wid
+    gi = pl.program_id(0)   # batch item (streamed indexes HBM arrays by it)
+
+    def frame_dma(t, slot):
+        """frames[gi, t] HBM -> fr slot. Descriptor shared by start/wait."""
+        return pltpu.make_async_copy(
+            frames_ref.at[pl.ds(gi, nb), pl.ds(t, 1)],
+            fr_vmem.at[slot], fsem.at[slot])
+
+    def out_dma(t_o, slot):
+        """out staging slot -> out[gi, t_o] HBM. Same-descriptor rule as
+        ``frame_dma``; all slots move equal byte counts, so the drain below
+        may reconstruct descriptors by static index."""
+        return pltpu.make_async_copy(
+            ostage.at[slot], out_ref.at[pl.ds(gi, nb), pl.ds(t_o, 1)],
+            osem.at[slot])
 
     # zero-init: borders stay zero forever (writes touch interiors only),
     # which IS the model's zero initial state + SAME-padding. A warm start
@@ -172,23 +259,44 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
     # cell below's pass, so they need no seeding.
     for x in xh_refs:
         x[...] = jnp.zeros_like(x)
+    if streamed:
+        # prefetch frame 0 while the seeds load / buffers zero
+        frame_dma(0, 0).start()
     if not warm:
         for cb in cbuf_refs:
             cb[...] = jnp.zeros_like(cb)
     else:
-        cbuf_refs[0][...] = c0_ref[..., 0:lanes]
-        if n_cells > 2:
-            cbuf_refs[1][...] = c0_ref[..., 2 * ch:3 * ch]
-        xh_refs[0][0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_ref[..., 0:ch]
+        if streamed:
+            # the packed seeds stay in HBM; stage each through one VMEM
+            # buffer (sequentially — ~2x less staging VMEM than two)
+            h_dma = pltpu.make_async_copy(h0_ref.at[pl.ds(gi, nb)], sstage,
+                                          ssem)
+            h_dma.start()
+            h_dma.wait()
+            h0_src, c0_src = sstage, sstage
+        else:
+            h0_src, c0_src = h0_ref, c0_ref
+        xh_refs[0][0, :, 1:1 + hgt, 1:1 + wid, 0:ch] = h0_src[..., 0:ch]
         for k in range(1, n_cells):
             xh_refs[k][0, :, 1:1 + hgt, 1:1 + wid, ch:2 * ch] = \
-                h0_ref[..., k * ch:(k + 1) * ch]
+                h0_src[..., k * ch:(k + 1) * ch]
+        if streamed:
+            c_dma = pltpu.make_async_copy(c0_ref.at[pl.ds(gi, nb)], sstage,
+                                          ssem)
+            c_dma.start()
+            c_dma.wait()
+        cbuf_refs[0][...] = c0_src[..., 0:lanes]
+        if n_cells > 2:
+            cbuf_refs[1][...] = c0_src[..., 2 * ch:3 * ch]
 
-    def load_frame(t):
+    def load_frame(t, cur: int):
         # [nb, H, W] (W on lanes) -> [nb, H, W, 1] (W on sublanes): one
         # relayout per encode step; t is a traced step index. Mosaic supports
         # the minor-dim-inserting reshape only for 32-bit vectors — via f32.
-        fr = frames_ref[:, pl.ds(t, 1)].astype(jnp.float32)
+        if streamed:
+            fr = fr_vmem[cur].astype(jnp.float32)   # [nb, 1, H, W]
+        else:
+            fr = frames_ref[:, pl.ds(t, 1)].astype(jnp.float32)
         return fr.reshape(nb, hgt, wid, 1)
 
     def cell_pass(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_ref, c_lane0,
@@ -218,9 +326,10 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                 also_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid,
                          also_lane0:also_lane0 + ch] = h_new
 
-    def head_pass(src_ref, t, x_dst_ref):
+    def head_pass(src_ref, t, x_dst_ref, o_slot: int):
         """3x3 head conv over the top cell's h (lanes [ch:2ch] of src) ->
-        prediction; written to the output frame t_out slot and, for the
+        prediction; written to the output frame t_out slot (streamed: the
+        ``o_slot`` staging buffer, DMA'd to HBM by the caller) and, for the
         autoregressive feed, into lane ch of the next step's cell-1 input."""
         t_o = t - (t_in - 1)
         for ti in range(n_tiles):
@@ -239,12 +348,18 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                 o3.astype(xh_refs[0].dtype)
             # [nb, tile, W, 1] -> [nb, 1, tile, W] (W back onto lanes) for
             # the result; t_o is a traced output-frame index
-            out_ref[:, pl.ds(t_o, 1), r0:r0 + tile, :] = \
-                o3.reshape(nb, 1, tile, wid).astype(out_ref.dtype)
+            o4 = o3.reshape(nb, 1, tile, wid)
+            if streamed:
+                ostage[o_slot, :, :, r0:r0 + tile, :] = \
+                    o4.astype(ostage.dtype)
+            else:
+                out_ref[:, pl.ds(t_o, 1), r0:r0 + tile, :] = \
+                    o4.astype(out_ref.dtype)
 
     def one_step(t, cur: int):
         """Step t: buffers read from slot ``cur``, write to ``1 - cur``.
-        ``cur`` is a static python int (the loop runs over step pairs)."""
+        ``cur`` is a static python int (the loop runs over step pairs), and
+        t's parity equals ``cur`` — so every DMA slot below is static."""
         nxt = 1 - cur
         srcs = [x.at[cur] for x in xh_refs]
         dsts = [x.at[nxt] for x in xh_refs]
@@ -252,7 +367,13 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
         # encode phase: overwrite the x lane with the observed frame
         @pl.when(t < t_in)
         def _():
-            fr = load_frame(t).astype(xh_refs[0].dtype)
+            if streamed:
+                # prefetch frame t+1 into the other slot while t lands
+                @pl.when(t + 1 < t_in)
+                def _():
+                    frame_dma(t + 1, nxt).start()
+                frame_dma(t, cur).wait()
+            fr = load_frame(t, cur).astype(xh_refs[0].dtype)
             srcs[0][:, 1:1 + hgt, 1:1 + wid, ch:ch + 1] = fr
 
         # cell 1: h1_new -> next cell-1 buffer (lanes 0:ch) AND the CURRENT
@@ -271,10 +392,21 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                           c_ref, c_lane0)
 
         # head (only once predictions start): prediction t_out slot + the
-        # autoregressive x for step t+1
+        # autoregressive x for step t+1. Output frame t_o = t - (t_in - 1)
+        # always lands in staging slot t_o % 2 == (cur + t_in - 1) % 2.
+        o_slot = (cur + t_in - 1) % 2
+
         @pl.when(t >= t_in - 1)
         def _():
-            head_pass(dsts[n_cells - 1], t, dsts[0])
+            if streamed:
+                # slot o_slot last carried frame t_o - 2: its copy-out must
+                # land before this frame's tiles overwrite the staging
+                @pl.when(t - (t_in - 1) >= 2)
+                def _():
+                    out_dma(t - (t_in - 1) - 2, o_slot).wait()
+            head_pass(dsts[n_cells - 1], t, dsts[0], o_slot)
+            if streamed:
+                out_dma(t - (t_in - 1), o_slot).start()
 
     def pair_body(i, _):
         one_step(2 * i, 0)
@@ -285,10 +417,22 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
     if steps % 2:
         one_step(steps - 1, (steps - 1) % 2)
 
+    if streamed:
+        # drain the in-flight copy-outs (the final one or two output frames)
+        # before the next grid step reuses the staging buffers
+        for t_o in range(max(0, t_out - 2), t_out):
+            out_dma(t_o, t_o % 2).wait()
 
-def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
+
+def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None,
+                    streamed: bool = False):
     """Shared pallas_call scaffolding for the cold (h0/c0 None) and warm
     variants — one place owns block specs, scratch shapes, and VMEM policy.
+
+    ``streamed``: frames/outputs (and warm seeds) stay HBM-resident and move
+    through double-buffered async copies instead of whole-array VMEM blocks —
+    the variant whose budget admits the 256x256 serving family (the
+    per-frame slots cost ~4 frames of VMEM instead of t_in + 2*t_out).
 
     ``interpret``: None = auto (interpreter on non-TPU backends); an explicit
     bool overrides — cross-platform ``jax.export`` lowering for TPU from a
@@ -303,12 +447,12 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     warm = h0 is not None
     nb = 1   # one batch item per grid step; see _fits_vmem for why not more
     if not _fits_vmem(t_in, t_out, hgt, wid, ch, jnp.dtype(dtype).itemsize,
-                      warm, n_cells):
+                      warm, n_cells, streamed):
         raise ValueError("rollout kernel VMEM budget exceeded — dispatch bug")
 
     body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
                              hgt=hgt, wid=wid, tile=tile, nb=nb,
-                             n_cells=n_cells, warm=warm)
+                             n_cells=n_cells, warm=warm, streamed=streamed)
     lanes = 2 * ch
     grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
                                         lambda i: (i, 0, 0, 0),
@@ -317,8 +461,10 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
                                        lambda i: (i, 0, 0, 0),
                                        memory_space=pltpu.VMEM)
     full = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    in_specs = ([grid_block(t_in)]
-                + ([state_block(), state_block()] if warm else [])
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
+    in_specs = ([hbm() if streamed else grid_block(t_in)]
+                + ([hbm(), hbm()] if (warm and streamed)
+                   else [state_block(), state_block()] if warm else [])
                 + [full()] * len(packed))
     args = (frames,) + ((h0, c0) if warm else ()) + packed
 
@@ -329,12 +475,22 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     scratch.append(pltpu.VMEM((nb, hgt, wid, lanes), dtype))   # c1|c2
     if n_cells > 2:
         scratch.append(pltpu.VMEM((nb, hgt, wid, ch), dtype))     # c3
+    if streamed:
+        scratch.append(pltpu.VMEM((2, nb, 1, hgt, wid), dtype))   # fr slots
+        scratch.append(pltpu.VMEM((2, nb, 1, hgt, wid), dtype))   # out stage
+        if warm:
+            scratch.append(pltpu.VMEM((nb, hgt, wid, h0.shape[-1]),
+                                      dtype))                     # seed stage
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))             # frames
+        scratch.append(pltpu.SemaphoreType.DMA((2,)))             # outputs
+        if warm:
+            scratch.append(pltpu.SemaphoreType.DMA(()))           # seeds
 
     return pl.pallas_call(
         body,
         grid=(b // nb,),
         in_specs=in_specs,
-        out_specs=grid_block(t_out),
+        out_specs=(hbm() if streamed else grid_block(t_out)),
         out_shape=jax.ShapeDtypeStruct((b, t_out, hgt, wid), dtype),
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
@@ -342,16 +498,20 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None):
     )(*args)
 
 
-@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
-def _run_rollout(frames, t_out: int, interpret=None, *packed):
+@functools.partial(jax.jit,
+                   static_argnames=("t_out", "interpret", "streamed"))
+def _run_rollout(frames, t_out: int, interpret=None, streamed=False,
+                 *packed):
     """frames: [B, T_in, H, W] (channel squeezed); returns [B, t_out, H, W].
     ``packed``: (w, b) per cell + (wh, bh), flat (``_pack_weights``)."""
     return _launch_rollout(tuple(packed), frames, None, None, t_out,
-                           interpret)
+                           interpret, streamed)
 
 
-@functools.partial(jax.jit, static_argnames=("t_out", "interpret"))
-def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None, *packed):
+@functools.partial(jax.jit,
+                   static_argnames=("t_out", "interpret", "streamed"))
+def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None,
+                      streamed=False, *packed):
     """Decode-only rollout from a warm recurrent state.
 
     frames: [B, 1, H, W] — the autoregressive seed (the stream's last emitted
@@ -359,7 +519,8 @@ def _run_rollout_warm(frames, h0, c0, t_out: int, interpret=None, *packed):
     state, lane-padded up to a 128 multiple (pad lanes are never read). Runs t_in=1 so step 0 consumes the seed frame against
     the warm state and the head emits from step 0 — exactly horizon=t_out
     free-running steps."""
-    return _launch_rollout(tuple(packed), frames, h0, c0, t_out, interpret)
+    return _launch_rollout(tuple(packed), frames, h0, c0, t_out, interpret,
+                           streamed)
 
 
 def _cells_from_core(core):
@@ -399,8 +560,26 @@ def _pack_weights(cells, head_kernel, head_bias, ch: int, dtype):
     return tuple(packed)
 
 
+def _resolve_io_mode(io_mode: str, t_in, t_out, hgt, wid, ch, itemsize,
+                     warm: bool, n_cells: int) -> bool:
+    """``io_mode`` ('auto' | 'resident' | 'streamed') -> the ``streamed``
+    flag, validating the VMEM budget of the resolved variant loudly."""
+    if io_mode == "auto":
+        mode = pick_io_mode(t_in, t_out, hgt, wid, ch, itemsize, warm,
+                            n_cells)
+        if mode is None:
+            raise ValueError("rollout kernel VMEM budget exceeded for this "
+                             "shape in both I/O variants — use the XLA scan")
+        return mode == "streamed"
+    if io_mode not in ("resident", "streamed"):
+        raise ValueError(f"io_mode must be auto|resident|streamed, "
+                         f"got {io_mode!r}")
+    return io_mode == "streamed"
+
+
 def rollout_pallas(params, frames, t_out: int,
-                   compute_dtype=jnp.bfloat16, interpret=None) -> jnp.ndarray:
+                   compute_dtype=jnp.bfloat16, interpret=None,
+                   io_mode: str = "auto") -> jnp.ndarray:
     """Free-running rollout via the VMEM-resident kernel.
 
     ``params``: a ConvLSTMForecaster param pytree (2-3 equal-width cells +
@@ -408,7 +587,10 @@ def rollout_pallas(params, frames, t_out: int,
     the model); returns [B, t_out, 1, H, W] float32 — same contract as
     ``model.apply(params, frames)`` at inference. ``interpret``: see
     ``_launch_rollout`` — cross-platform TPU export from a CPU host must
-    pass False to capture the Mosaic kernel, not the interpreter."""
+    pass False to capture the Mosaic kernel, not the interpreter.
+    ``io_mode``: 'auto' picks resident I/O where it fits, else streamed
+    (HBM frames/outputs + double-buffered DMA); explicit values force a
+    variant (benchmarking)."""
     core = params["params"]["core"]
     cells = _cells_from_core(core)
     ch = cells[0].kernel.shape[-1] // 4
@@ -418,17 +600,21 @@ def rollout_pallas(params, frames, t_out: int,
         # and under python -O a stripped assert would silently drop channels 1+
         raise ValueError("rollout kernel supports 1-channel frames, got "
                          f"{c} channels")
+    streamed = _resolve_io_mode(io_mode, t_in, t_out, hgt, wid, ch,
+                                jnp.dtype(compute_dtype).itemsize, False,
+                                len(cells))
 
     packed = _pack_weights(cells, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
     fr = frames[:, :, 0].astype(compute_dtype)          # [B, T_in, H, W]
-    out = _run_rollout(fr, t_out, interpret, *packed)
+    out = _run_rollout(fr, t_out, interpret, streamed, *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, t_out, 1, H, W]
 
 
 def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
                               compute_dtype=jnp.bfloat16,
-                              interpret=None) -> jnp.ndarray:
+                              interpret=None,
+                              io_mode: str = "auto") -> jnp.ndarray:
     """Free-running rollout branched from a WARM recurrent state.
 
     The streaming counterpart of ``rollout_pallas``: instead of encoding an
@@ -452,6 +638,10 @@ def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
         raise ValueError(f"{len(cells)} state pairs for "
                          f"{len(cell_params)} cells")
 
+    hgt, wid = prev_out.shape[1], prev_out.shape[2]
+    streamed = _resolve_io_mode(io_mode, 1, horizon, hgt, wid, ch,
+                                jnp.dtype(compute_dtype).itemsize, True,
+                                len(cell_params))
     packed = _pack_weights(cell_params, core["head"]["kernel"],
                            core["head"]["bias"], ch, compute_dtype)
     h0 = jnp.concatenate([hc[0] for hc in cells], -1).astype(compute_dtype)
@@ -464,5 +654,6 @@ def rollout_pallas_from_state(core, cells, prev_out, horizon: int,
         widths = [(0, 0)] * 3 + [(0, pad)]
         h0, c0 = jnp.pad(h0, widths), jnp.pad(c0, widths)
     fr = jnp.transpose(prev_out, (0, 3, 1, 2)).astype(compute_dtype)
-    out = _run_rollout_warm(fr, h0, c0, horizon, interpret, *packed)
+    out = _run_rollout_warm(fr, h0, c0, horizon, interpret, streamed,
+                            *packed)
     return out[:, :, None].astype(jnp.float32)          # [B, horizon, 1, H, W]

@@ -296,6 +296,137 @@ def test_rollout_kernel_three_cell_warm_start(horizon):
                                atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("cells_n", [2, 3])
+def test_rollout_kernel_streamed_io_matches_forecaster(cells_n):
+    """Streamed-I/O variant (HBM frames/outputs, double-buffered DMA — the
+    256x256 serving budget's variant) == the forecaster free rollout,
+    interpret mode, f32 exactness. Odd t_in exercises the frame-prefetch
+    parity; t_out=4 exercises staging-slot reuse (frame t_o-2 wait)."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+
+    rng = np.random.default_rng(17)
+    b, t_in, t_out, size, ch = 2, 3, 4, 8, 8
+    frames = jnp.asarray(rng.random((b, t_in, 1, size, size)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(ch,) * cells_n,
+                               input_frames=t_in, output_frames=t_out)
+    params = model.init(jax.random.PRNGKey(4), frames)
+    ref = model.apply(params, frames)
+    out = rollout_pallas(params, frames, t_out, compute_dtype=jnp.float32,
+                         io_mode="streamed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("cells_n,horizon", [(2, 1), (2, 4), (3, 3)])
+def test_rollout_kernel_streamed_io_warm_start(cells_n, horizon):
+    """Streamed-I/O warm start (seeds staged through one VMEM buffer from
+    HBM) == the streaming XLA forecast scan, interpret mode, f32."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+        rollout_pallas_from_state)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic"},
+        "model": {"family": "forecaster", "hidden_dims": [8] * cells_n,
+                  "input_frames": 3, "output_frames": 4,
+                  "rollout_impl": "xla"},
+        "training": {"batch_size": 8, "epochs": 1},
+        "output": {"output_dir": "/tmp/unused_warm_streamed"},
+    })
+    rng = np.random.default_rng(19)
+    b, hw = 2, 8
+    frames = jnp.asarray(rng.random((b, 3, 1, hw, hw)), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(8,) * cells_n, input_frames=3,
+                               output_frames=4)
+    variables = model.init(jax.random.PRNGKey(8), frames)
+
+    sf = StreamingForecaster(cfg, variables)
+    state = sf.init_state(b, hw, hw)
+    state, _ = sf.observe_window(state, frames)
+    ref = sf.forecast(state, horizon)
+    out = rollout_pallas_from_state(variables["params"]["core"],
+                                    state.cells, state.prev_out, horizon,
+                                    compute_dtype=jnp.float32,
+                                    io_mode="streamed")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_rollout_io_mode_selection():
+    """The I/O-variant picker and the fits gate at the 256x256 serving
+    shapes: cold fits resident; warm ONLY fits streamed (the round-3 gap the
+    streamed variant exists to close); auto (implicit) dispatch refuses
+    streamed until its Mosaic compile is hardware-validated."""
+    from pl_convlstm_gan_tpu.ops.pallas import rollout_kernel as rk
+
+    # bench shape: resident everywhere
+    assert rk.pick_io_mode(5, 10, 128, 128, 64, 2) == "resident"
+    # 256x256 serving family (config #5): cold resident, warm streamed-only
+    assert rk.pick_io_mode(5, 30, 256, 256, 64, 2) == "resident"
+    assert rk.pick_io_mode(1, 30, 256, 256, 64, 2, warm=True) == "streamed"
+    assert rk.rollout_pallas_fits(1, 30, 1, 1, 256, 256, (64, 64), 3, 2,
+                                  warm=True)
+    # implicit selection stays off until on-device validation flips the gate
+    expected = "streamed" if rk._MOSAIC_VALIDATED_STREAMED else None
+    assert rk.pick_io_mode(1, 30, 256, 256, 64, 2, warm=True,
+                           auto=True) == expected
+    # far over every budget -> no kernel
+    assert rk.pick_io_mode(1, 30, 1024, 1024, 128, 4, warm=True) is None
+    with pytest.raises(ValueError, match="I/O variants"):
+        rk._resolve_io_mode("auto", 1, 30, 1024, 1024, 128, 4, True, 2)
+    with pytest.raises(ValueError, match="io_mode"):
+        rk._resolve_io_mode("bogus", 5, 10, 128, 128, 64, 2, False, 2)
+
+
+def test_rollout_kernel_streamed_tpu_lowering_from_cpu_host():
+    """Client-side pallas->Mosaic lowering of the streamed-I/O variant for
+    platform 'tpu' from a CPU host — pins the DMA descriptor/semaphore
+    lowering (HBM-sliced async copies, per-slot semaphores, staging-slot
+    writes) incl. the REAL 256x256/30-frame warm serving shape. Only the
+    server-side machine-code compile remains hardware-gated."""
+    from jax import export as jax_export
+
+    from pl_convlstm_gan_tpu.config import Config
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+        rollout_pallas, rollout_pallas_from_state)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+
+    t_in, t_out, size = 2, 3, 64
+    frames = jnp.zeros((1, t_in, 1, size, size), jnp.float32)
+    model = ConvLSTMForecaster(hidden_dims=(64, 64), input_frames=t_in,
+                               output_frames=t_out, dtype=jnp.bfloat16)
+    params = model.init(jax.random.PRNGKey(0), frames)
+    fn = lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16,
+                                     interpret=False, io_mode="streamed")
+    exp = jax_export.export(jax.jit(fn), platforms=("tpu",))(
+        jax.eval_shape(lambda: params),
+        jax.ShapeDtypeStruct(frames.shape, frames.dtype))
+    assert len(exp.serialize()) > 0
+
+    # the shape this variant exists for: 256x256 warm streaming, h=30
+    size = 256
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic"},
+        "model": {"family": "forecaster", "hidden_dims": [64, 64],
+                  "input_frames": 5, "output_frames": 30},
+        "training": {"batch_size": 8},
+        "output": {"output_dir": "/tmp/plcg_lowering_streamed"}})
+    sf = StreamingForecaster(cfg, params)
+    state = sf.init_state(1, size, size)
+    wfn = lambda cs, po: rollout_pallas_from_state(
+        params["params"]["core"], cs, po, 30, jnp.bfloat16,
+        interpret=False, io_mode="streamed")
+    exp2 = jax_export.export(jax.jit(wfn), platforms=("tpu",))(
+        *jax.eval_shape(lambda: (state.cells, state.prev_out)))
+    assert len(exp2.serialize()) > 0
+
+
 def test_rollout_kernel_tpu_lowering_from_cpu_host():
     """The pallas->Mosaic LOWERING of the rollout kernel (cold + warm, 2- and
     3-cell) runs client-side: jax.export for platform 'tpu' from a CPU-only
