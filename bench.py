@@ -246,6 +246,16 @@ def bench_secondary(iters: int) -> dict:
             lambda _: sf._jit_forecast(sf._vars, warm, horizon=30), None,
             fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10, iters=iters)
         out["stream_forecast30_p50_s"] = res["p50"]
+        # multi-stream scaling point (round-3 VERDICT item 5): the same
+        # horizon-30 branch serving 8 concurrent streams — how the batch-
+        # polymorphic serving surface amortizes (full sweep: experiments/
+        # streaming_latency.py --batch-sweep)
+        sfr8 = jnp.asarray(rng.random((8, 5, 1, 128, 128)).astype(np.float32))
+        warm8, _ = sf.observe_window(sf.init_state(8, 128, 128), sfr8)
+        res8 = benchmark_chained(
+            lambda _: sf._jit_forecast(sf._vars, warm8, horizon=30), None,
+            fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10, iters=iters)
+        out["stream_forecast30_b8_p50_s"] = res8["p50"]
         if jax.default_backend() == "tpu" and rollout_pallas_fits(
                 1, 30, 1, 1, 128, 128, (64, 64), 3, 2, warm=True):
             core = sf._vars["params"]
@@ -256,6 +266,11 @@ def bench_secondary(iters: int) -> dict:
                 fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10,
                 iters=iters)
             out["stream_forecast30_pallas_p50_s"] = res["p50"]
+            res8 = benchmark_chained(
+                lambda _: pk(warm8.cells, warm8.prev_out), None,
+                fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10,
+                iters=iters)
+            out["stream_forecast30_pallas_b8_p50_s"] = res8["p50"]
     except Exception as e:  # the headline must survive a streaming regression
         print(f"streaming bench skipped: {e}", file=sys.stderr)
     return out

@@ -62,6 +62,9 @@ def main():
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--io-mode", default="auto",
                     choices=("auto", "resident", "streamed"))
+    ap.add_argument("--batch-sweep", action="store_true",
+                    help="measure observe/forecast at B in {1,2,4,8} "
+                         "concurrent streams (round-3 VERDICT item 5)")
     args = ap.parse_args()
     global HIDDEN, SIZE
     HIDDEN = (64,) * args.cells
@@ -119,6 +122,41 @@ def main():
                      f"({(1 - pres['p50'] / xres['p50']) * 100:+.1f}% vs xla,"
                      f" max|err| {err:.3e})")
         print(line, flush=True)
+
+    # 4. multi-stream scaling: how the batch-polymorphic serving surface
+    # amortizes concurrent streams (round-3 VERDICT item 5). Per-stream cost
+    # should drop until the chip saturates; the kernel path runs the batch
+    # as sequential grid steps, so expect ~linear there.
+    if args.batch_sweep:
+        horizon = 30
+        for b in (1, 2, 4, 8):
+            fr_b = jnp.asarray(rng.random((b, T_IN, 1, SIZE, SIZE)),
+                               jnp.float32)
+            warm_b, _ = sf.observe_window(sf.init_state(b, SIZE, SIZE), fr_b)
+            ores = benchmark_chained(
+                lambda s: sf.observe(s, fr_b[:, 0])[0], warm_b,
+                fetch=lambda s: float(s.prev_out[0, 0, 0, 0]),
+                chain=20, iters=10)
+            xres = benchmark_chained(
+                lambda _: sf._jit_forecast(sf._vars, warm_b, horizon=horizon),
+                None, fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                chain=10, iters=10)
+            line = (f"B={b}: observe p50 {ores['p50'] * 1e3:.2f} ms | "
+                    f"forecast h={horizon} xla p50 {xres['p50'] * 1e3:.2f} ms"
+                    f" ({xres['p50'] * 1e3 / b:.2f} ms/stream)")
+            if jax.default_backend() == "tpu" and rollout_pallas_fits(
+                    1, horizon, b, 1, SIZE, SIZE, HIDDEN, 3, itemsize,
+                    warm=True):
+                pl_fn = jax.jit(lambda c, p: rollout_pallas_from_state(
+                    core_vars, c, p, horizon, jnp.bfloat16,
+                    io_mode=args.io_mode))
+                pres = benchmark_chained(
+                    lambda _: pl_fn(warm_b.cells, warm_b.prev_out), None,
+                    fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                    chain=10, iters=10)
+                line += (f" | pallas p50 {pres['p50'] * 1e3:.2f} ms "
+                         f"({pres['p50'] * 1e3 / b:.2f} ms/stream)")
+            print(line, flush=True)
 
 
 if __name__ == "__main__":

@@ -51,4 +51,7 @@ timeout 3600 python experiments/rollout_kernel_bench.py --size 256 \
 timeout 3600 python experiments/rollout_kernel_bench.py --size 256 \
     --t-out 30 --batch 1 --io-mode streamed
 
+echo "=== 7) multi-stream scaling sweep (B 1/2/4/8) ==="
+timeout 3600 python experiments/streaming_latency.py --batch-sweep
+
 echo "=== all done ==="

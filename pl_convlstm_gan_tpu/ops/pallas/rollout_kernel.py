@@ -535,6 +535,10 @@ def _cells_from_core(core):
                             core[f"cell_{i}"]["bias"]) for i in range(n)]
     widths = [c.kernel.shape[-1] // 4 for c in cells]
     if n not in (2, 3) or any(w != widths[0] for w in widths):
+        # recorded family boundary: padding mixed widths (e.g. the parity
+        # Generator's (16, 32)) to the 128-lane MXU tile inflates tap FLOPs
+        # ~3-4x to chase a <=30% I/O win — see docs/design.md "Why the kernel
+        # family stops at equal widths"
         raise ValueError(f"rollout kernel supports 2-3 equal-width cells, "
                          f"got {n} cells with widths {widths}")
     return cells
