@@ -578,6 +578,15 @@ def _resolve_io_mode(io_mode: str, t_in, t_out, hgt, wid, ch, itemsize,
     if io_mode not in ("resident", "streamed"):
         raise ValueError(f"io_mode must be auto|resident|streamed, "
                          f"got {io_mode!r}")
+    if not _fits_vmem(t_in, t_out, hgt, wid, ch, itemsize, warm, n_cells,
+                      streamed=(io_mode == "streamed")):
+        fitting = pick_io_mode(t_in, t_out, hgt, wid, ch, itemsize, warm,
+                               n_cells)
+        hint = (f"; the '{fitting}' variant fits — use io_mode='{fitting}' "
+                f"or 'auto'" if fitting else
+                "; no variant fits — use the XLA scan")
+        raise ValueError(f"forced io_mode={io_mode!r} exceeds the rollout "
+                         f"kernel VMEM budget at this shape{hint}")
     return io_mode == "streamed"
 
 

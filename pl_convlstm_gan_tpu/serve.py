@@ -272,7 +272,13 @@ class StreamingServer:
             try:
                 out = jax.block_until_ready(pfn(state))
                 with self._pallas_lock:
-                    self._pallas_proven.add(horizon)
+                    # only mark proven while the kernel entry still exists: a
+                    # concurrent first-use failure may have dropped this
+                    # horizon between our call and this lock, and a proven
+                    # mark on a dropped horizon would falsify the invariant
+                    # "_pallas_proven implies the kernel is present"
+                    if horizon in self._pallas_forecasts:
+                        self._pallas_proven.add(horizon)
                 return out
             except Exception as e:  # fall back to the portable program
                 import warnings

@@ -41,6 +41,15 @@ def load_satellite_csv(path: str):
         df = df.dropna(subset=["precip"])
         if df.empty:
             raise ValueError(f"{path} contains no valid precip records")
+        # keep-first-with-warning dedupe, matching what compare_systems does
+        # for the wide format downstream — pivot_table would otherwise
+        # silently AVERAGE duplicated (time, lat, lon) rows (e.g. two export
+        # runs concatenated), giving format-dependent metrics
+        dups = df.duplicated(subset=["time", "lat", "lon"])
+        if dups.any():
+            print(f"WARNING: {path}: {int(dups.sum())} duplicated "
+                  f"(time, lat, lon) rows dropped (kept first)")
+            df = df[~dups]
         pivot = df.pivot_table(index="time", columns=["lat", "lon"],
                                values="precip").sort_index()
         coords = np.array(list(pivot.columns), dtype=np.float64)

@@ -381,6 +381,13 @@ def test_rollout_io_mode_selection():
         rk._resolve_io_mode("auto", 1, 30, 1024, 1024, 128, 4, True, 2)
     with pytest.raises(ValueError, match="io_mode"):
         rk._resolve_io_mode("bogus", 5, 10, 128, 128, 64, 2, False, 2)
+    # a user-forced variant that does not fit names the forced mode and the
+    # one that would, instead of tracing into a 'dispatch bug' error
+    with pytest.raises(ValueError,
+                       match="forced io_mode='resident'.*'streamed'"):
+        rk._resolve_io_mode("resident", 1, 30, 256, 256, 64, 2, True, 2)
+    with pytest.raises(ValueError, match="no variant fits"):
+        rk._resolve_io_mode("resident", 1, 30, 1024, 1024, 128, 4, True, 2)
 
 
 def test_rollout_kernel_streamed_tpu_lowering_from_cpu_host():

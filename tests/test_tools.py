@@ -136,6 +136,14 @@ def test_load_satellite_csv_reference_long_format(tmp_path):
     with pytest.raises(ValueError, match="no valid precip"):
         load_satellite_csv(str(tmp_path / "bad.csv"))
 
+    # duplicated (time, lat, lon) rows (e.g. two export runs concatenated)
+    # are dropped keep-first with a warning — NOT silently averaged by the
+    # pivot, which would give format-dependent metrics vs the wide path
+    dup = pd.concat([long_df, long_df.assign(precip=long_df.precip + 100)])
+    dup.to_csv(tmp_path / "dup.csv", index=False)
+    t3, _, _, v3 = load_satellite_csv(str(tmp_path / "dup.csv"))
+    np.testing.assert_allclose(v3[0], vals[0].reshape(-1))  # first kept
+
 
 def test_torch_checkpoint_roundtrip(tmp_path):
     """our params -> reference-style state_dict -> back == identity; and the
