@@ -60,4 +60,16 @@ echo "=== 8) exported-artifact embedded kernel program execution ==="
 # sub-item: this path had only CPU lowering evidence)
 timeout 3600 python experiments/artifact_latency.py
 
+echo "=== 9) convergence regression: nowcast_128 recipe on the final tree ==="
+# recorded reference (docs/design.md): best-epoch val L1 0.0959 / SSIM 0.61,
+# held-out test L1 0.0995 / SSIM 0.599 (~12 min wall on v5e-1)
+timeout 3600 python main.py --config nowcast_128
+timeout 1200 python main.py --config nowcast_128 --mode eval
+
+echo "=== 10) convergence regression: gan_64 recipe on the final tree ==="
+# recorded reference (docs/design.md lambda ablation, lambda_adv=0.001 row):
+# test L1 0.1051 / SSIM 0.537 (~9 min wall on v5e-1)
+timeout 3600 python main.py --config gan_64
+timeout 1200 python main.py --config gan_64 --mode eval
+
 echo "=== all done ==="
