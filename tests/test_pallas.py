@@ -357,6 +357,36 @@ def test_rollout_kernel_streamed_io_warm_start(cells_n, horizon):
                                atol=1e-5, rtol=1e-5)
 
 
+def test_rollout_kernel_streamed_io_phase_sweep():
+    """Every (t_in parity) x (t_out 1..4) combination of the streamed
+    variant's DMA phase arithmetic: frame-prefetch slot parity, output
+    staging-slot reuse (wait on frame t_o-2), and the final drain (last one
+    or two frames) all depend on these statics — a slot-parity bug shows up
+    as wrong values on specific (t_in, t_out) combos only."""
+    import numpy as np
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster
+    from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+
+    rng = np.random.default_rng(23)
+    b, size, ch = 1, 8, 8
+    for t_in in (1, 2):          # odd/even encode phase (3 == 1 mod 2)
+        for t_out in (1, 2, 3, 4):   # drain sizes + both reuse parities
+            frames = jnp.asarray(rng.random((b, t_in, 1, size, size)),
+                                 jnp.float32)
+            model = ConvLSTMForecaster(hidden_dims=(ch, ch),
+                                       input_frames=t_in,
+                                       output_frames=t_out)
+            params = model.init(jax.random.PRNGKey(t_in * 10 + t_out),
+                                frames)
+            ref = model.apply(params, frames)
+            out = rollout_pallas(params, frames, t_out,
+                                 compute_dtype=jnp.float32,
+                                 io_mode="streamed")
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5,
+                err_msg=f"t_in={t_in} t_out={t_out}")
+
+
 def test_rollout_io_mode_selection():
     """The I/O-variant picker and the fits gate at the 256x256 serving
     shapes: cold fits resident; warm ONLY fits streamed (the round-3 gap the
