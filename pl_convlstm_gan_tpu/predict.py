@@ -132,12 +132,46 @@ def build_predict_fn(config: Config, checkpoint_path: str,
 
 
 def load_predictor(config: Config, checkpoint_path: str,
-                   lu_channels: int = 0, output_frames: int = 0) -> Callable:
+                   lu_channels: int = 0, output_frames: int = 0,
+                   data_parallel: str = "auto") -> Callable:
     """Restore params from `checkpoint_path` and return a jitted predict fn.
 
     Generator family: predict(rain_lr [B,T,1,H,W], dem, lu) -> [B,T,1,H',W'].
     Forecaster/GAN:   predict(frames [B,T_in,1,H,W]) -> [B,T_out,1,H,W];
     `output_frames` serves a different rollout horizon than the checkpoint was
-    trained at (recurrent params are horizon-independent)."""
-    return jax.jit(build_predict_fn(config, checkpoint_path,
-                                    lu_channels, output_frames))
+    trained at (recurrent params are horizon-independent).
+
+    ``data_parallel``: batch-shard inference over every visible chip
+    (throughput predict — GSPMD splits the batch; no code or collectives in
+    the model's hot path, the batch dim is embarrassingly parallel).
+    ``"auto"`` (default) shards when >1 device is visible AND the call's
+    batch divides the device count, falling back to single-device placement
+    otherwise; ``"off"`` never shards; ``"require"`` raises on a batch the
+    mesh cannot split evenly instead of silently serving slower."""
+    if data_parallel not in ("auto", "off", "require"):
+        raise ValueError(f"data_parallel must be auto|off|require, "
+                         f"got {data_parallel!r}")
+    jfn = jax.jit(build_predict_fn(config, checkpoint_path,
+                                   lu_channels, output_frames))
+    n = jax.device_count()
+    if data_parallel == "off" or n == 1:
+        if data_parallel == "require" and n == 1:
+            raise ValueError("data_parallel='require' needs >1 device, "
+                             f"found {n}")
+        return jfn
+
+    from jax.sharding import NamedSharding, PartitionSpec
+    from .parallel import make_mesh
+    mesh = make_mesh()
+    shard = NamedSharding(mesh, PartitionSpec("data"))   # batch dim only
+
+    def predict(*args):
+        b = args[0].shape[0]
+        if b % n:
+            if data_parallel == "require":
+                raise ValueError(f"batch {b} not divisible by {n} devices "
+                                 "(data_parallel='require')")
+            return jfn(*args)
+        return jfn(*(jax.device_put(jnp.asarray(a), shard) for a in args))
+
+    return predict

@@ -39,6 +39,50 @@ def test_predictor_forecaster_roundtrip(tmp_path, rng):
                                atol=1e-5)
 
 
+def test_predictor_data_parallel(tmp_path, rng):
+    """Batch-sharded inference over the 8 virtual devices == single-device
+    predict exactly; 'require' raises on an unsplittable batch instead of
+    silently serving on one chip; non-divisible batches fall back."""
+    import jax
+    import pytest
+
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic", "synthetic_num_sequences": 48,
+                 "synthetic_image_size": 8},
+        "model": {"family": "forecaster", "hidden_dims": [8],
+                  "input_frames": 2, "output_frames": 3},
+        "training": {"batch_size": 8, "epochs": 1, "learning_rate": 1e-3,
+                     "use_split": True, "use_early_stopping": False},
+        "output": {"output_dir": str(tmp_path / "out"), "log_interval": 100},
+    })
+    SequenceTrainer(config=cfg).train()
+    ckpt = str(tmp_path / "out" / "best_model")
+    n = jax.device_count()
+    assert n == 8   # tests/conftest.py virtual mesh
+
+    single = load_predictor(cfg, ckpt, data_parallel="off")
+    dp = load_predictor(cfg, ckpt)                       # auto
+    frames = jnp.asarray(rng.random((8, 2, 1, 8, 8)).astype(np.float32))
+    out_dp = dp(frames)
+    # the output really is batch-sharded over the mesh
+    assert len(out_dp.sharding.device_set) == n
+    np.testing.assert_allclose(np.asarray(out_dp),
+                               np.asarray(single(frames)), atol=1e-6)
+
+    # non-divisible batch: auto falls back (single-device placement), exact
+    frames3 = frames[:3]
+    np.testing.assert_allclose(np.asarray(dp(frames3)),
+                               np.asarray(single(frames3)), atol=1e-6)
+
+    req = load_predictor(cfg, ckpt, data_parallel="require")
+    np.testing.assert_allclose(np.asarray(req(frames)),
+                               np.asarray(out_dp), atol=1e-6)
+    with pytest.raises(ValueError, match="not divisible"):
+        req(frames3)
+    with pytest.raises(ValueError, match="data_parallel"):
+        load_predictor(cfg, ckpt, data_parallel="bogus")
+
+
 def test_predictor_generator(tmp_path, rng):
     cfg = Config.from_dict({
         "data": {"source": "synthetic", "synthetic_num_sequences": 48,
