@@ -147,7 +147,7 @@ def daily_accumulations(values, times, year: int) -> dict:
 
 
 def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int,
-                            make_plot: bool = True):
+                            make_plot: bool = True, csv_format: str = "wide"):
     import numpy as np
     import pandas as pd
     import xarray as xr
@@ -213,16 +213,37 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     for m in acc.pop("messages"):
         print(f"[QC] {year}: {m}")
 
+    if csv_format not in ("wide", "long", "both"):
+        raise ValueError(f"csv_format must be wide|long|both, "
+                         f"got {csv_format!r}")
     results, result_dates = {}, {}
     for name, (arr, dates) in acc.items():
         npy_path = os.path.join(out_dir, f"fenhe_{name}_{year}.npy")
         np.save(npy_path, arr)
-        # per-cell CSV export (reference cmorph.py:121-141)
         flat = arr.reshape(arr.shape[0], -1)
-        cols = [f"{float(la):.3f}_{float(lo):.3f}"
-                for la in masked.lat.values for lo in masked.lon.values]
-        pd.DataFrame(flat, index=dates, columns=cols).to_csv(
-            os.path.join(out_dir, f"fenhe_{name}_{year}.csv"))
+        csv_path = os.path.join(out_dir, f"fenhe_{name}_{year}.csv")
+        if csv_format in ("wide", "both"):
+            # per-cell wide CSV (our canonical export; reference
+            # cmorph.py:121-141 is the long equivalent below)
+            cols = [f"{float(la):.3f}_{float(lo):.3f}"
+                    for la in masked.lat.values for lo in masked.lon.values]
+            pd.DataFrame(flat, index=dates, columns=cols).to_csv(csv_path)
+        if csv_format in ("long", "both"):
+            # the reference's EXACT export shape (cmorph.py:134-137): one row
+            # per (time, lat, lon) with NaN rows dropped — for downstream
+            # scripts written against reference-produced CSVs. `both` writes
+            # it alongside as *_long.csv; `long` replaces the wide file.
+            lat_v, lon_v = masked.lat.values, masked.lon.values
+            long_df = pd.DataFrame({
+                "time": np.repeat(np.asarray(dates), lat_v.size * lon_v.size),
+                "lat": np.tile(np.repeat(lat_v, lon_v.size), len(dates)),
+                "lon": np.tile(lon_v, lat_v.size * len(dates)),
+                "precip": flat.reshape(-1),
+            }).dropna(subset=["precip"])
+            long_path = (csv_path if csv_format == "long"
+                         else os.path.join(out_dir,
+                                           f"fenhe_{name}_{year}_long.csv"))
+            long_df.to_csv(long_path, index=False)
         results[name] = arr
         result_dates[name] = dates
         print(f"saved {npy_path} {arr.shape}")
@@ -321,6 +342,11 @@ def main():
     p.add_argument("--start-year", type=int, default=2012)
     p.add_argument("--end-year", type=int, default=2021)
     p.add_argument("--no-plot", action="store_true")
+    p.add_argument("--csv-format", default="wide",
+                   choices=("wide", "long", "both"),
+                   help="'long' writes the reference's time/lat/lon/precip "
+                        "export shape; 'both' writes it alongside as "
+                        "*_long.csv")
     args = p.parse_args()
     if args.end_year > args.start_year and "{year}" not in args.nc_glob:
         raise SystemExit(
@@ -330,7 +356,8 @@ def main():
     for year in range(args.start_year, args.end_year + 1):
         glob_y = args.nc_glob.format(year=year)
         process_cmorph_to_fenhe(glob_y, args.shp, args.out_dir, year,
-                                make_plot=not args.no_plot)
+                                make_plot=not args.no_plot,
+                                csv_format=args.csv_format)
 
 
 if __name__ == "__main__":

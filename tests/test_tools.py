@@ -631,6 +631,35 @@ def test_process_cmorph_plots_and_sample_day(monkeypatch, tmp_path):
     assert pick_spatial_sample_day(jan, [arr2[:5]], 2021) == 4
 
 
+def test_process_cmorph_long_csv_export_roundtrip(monkeypatch, tmp_path):
+    """csv_format='both' writes the reference's long export shape next to the
+    wide one, and the two load identically through load_satellite_csv —
+    bidirectional interop with reference-format consumers (reference
+    cmorph.py:134-137)."""
+    from pl_convlstm_gan_tpu.tools.cmorph import process_cmorph_to_fenhe
+    from pl_convlstm_gan_tpu.tools.compare_station import load_satellite_csv
+
+    ds, _, _ = _hostile_cmorph_ds()
+    _install_fake_geo(monkeypatch, ds, gdf_bounds=(-9.5, 0.5, -7.5, 2.5))
+    process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
+                            make_plot=False, csv_format="both")
+    wide = tmp_path / "fenhe_hydro_08-08_2021.csv"
+    long_ = tmp_path / "fenhe_hydro_08-08_2021_long.csv"
+    assert wide.exists() and long_.exists()
+    # long format has the reference's exact columns
+    header = pd.read_csv(long_, nrows=0).columns.tolist()
+    assert header == ["time", "lat", "lon", "precip"]
+    tw, law, low, vw = load_satellite_csv(str(wide))
+    tl, lal, lol, vl = load_satellite_csv(str(long_))
+    np.testing.assert_allclose(law, lal)
+    np.testing.assert_allclose(low, lol)
+    np.testing.assert_allclose(vw, vl, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="csv_format"):
+        process_cmorph_to_fenhe("*.nc", "basin.shp", str(tmp_path), 2021,
+                                make_plot=False, csv_format="bogus")
+
+
 def test_process_cmorph_glue_disjoint_basin_raises(monkeypatch, tmp_path):
     """A shapefile that does not overlap the grid (e.g. an unnormalized
     projected CRS compared against degrees) must fail loudly, not write
