@@ -48,6 +48,30 @@ def test_export_roundtrip_matches_inprocess(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_export_artifact_batch_sharded_call(tmp_path):
+    """A symbolic-batch artifact serves a batch SHARDED over the device mesh
+    (throughput serving on a multi-chip host): the exported program has no
+    pinned input shardings, so GSPMD splits the embarrassingly-parallel batch
+    dim — output stays sharded and equals the replicated call exactly."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from pl_convlstm_gan_tpu.parallel import make_mesh
+
+    config = load_config("ci_smoke_seq")
+    model, params, sample, ckpt = _forecaster_ckpt(tmp_path, config)
+    blob = export_model(config, ckpt, (sample[:1],))
+    serve = load_exported(blob)
+
+    big = jnp.concatenate([sample] * 4, axis=0)          # batch 8
+    ref = serve(big)
+    mesh = make_mesh()
+    sharded = jax.device_put(big, NamedSharding(mesh, PartitionSpec("data")))
+    out = serve(sharded)
+    assert len(out.sharding.device_set) == jax.device_count() == 8
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_export_artifact_is_self_contained(tmp_path):
     """Serving needs only the bytes: write to disk, read back in a state where
     neither the checkpoint nor the config is consulted."""
