@@ -151,8 +151,8 @@ def load_predictor(config: Config, checkpoint_path: str,
     if data_parallel not in ("auto", "off", "require"):
         raise ValueError(f"data_parallel must be auto|off|require, "
                          f"got {data_parallel!r}")
-    jfn = jax.jit(build_predict_fn(config, checkpoint_path,
-                                   lu_channels, output_frames))
+    fn = build_predict_fn(config, checkpoint_path, lu_channels, output_frames)
+    jfn = jax.jit(fn)
     n = jax.device_count()
     if data_parallel == "off" or n == 1:
         if data_parallel == "require" and n == 1:
@@ -160,10 +160,16 @@ def load_predictor(config: Config, checkpoint_path: str,
                              f"found {n}")
         return jfn
 
-    from jax.sharding import NamedSharding, PartitionSpec
-    from .parallel import make_mesh
+    from jax.sharding import PartitionSpec
+    from .parallel import batch_sharding, make_mesh
     mesh = make_mesh()
-    shard = NamedSharding(mesh, PartitionSpec("data"))   # batch dim only
+    shard = batch_sharding(mesh)
+    # shard_map, not bare GSPMD sharding: the Pallas rollout kernel (a Mosaic
+    # custom call) cannot be auto-partitioned — jit would raise at lowering
+    # with sharded inputs. Under shard_map each device runs the whole predict
+    # program (XLA or kernel) on its local batch shard, which is exactly the
+    # batch-parallel semantics wanted, and params close over as replicated.
+    smapped = {}   # arg-count (1 = sequence families, 3 = generator) -> fn
 
     def predict(*args):
         b = args[0].shape[0]
@@ -172,6 +178,12 @@ def load_predictor(config: Config, checkpoint_path: str,
                 raise ValueError(f"batch {b} not divisible by {n} devices "
                                  "(data_parallel='require')")
             return jfn(*args)
-        return jfn(*(jax.device_put(jnp.asarray(a), shard) for a in args))
+        if len(args) not in smapped:
+            specs = (PartitionSpec("data"),) * len(args)
+            smapped[len(args)] = jax.jit(jax.shard_map(
+                fn, mesh=mesh, in_specs=specs,
+                out_specs=PartitionSpec("data"), check_vma=False))
+        return smapped[len(args)](
+            *(jax.device_put(jnp.asarray(a), shard) for a in args))
 
     return predict

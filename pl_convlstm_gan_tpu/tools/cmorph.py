@@ -148,6 +148,12 @@ def daily_accumulations(values, times, year: int) -> dict:
 
 def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int,
                             make_plot: bool = True, csv_format: str = "wide"):
+    # validate args BEFORE the expensive load/mask/accumulate pipeline — a
+    # typo'd csv_format must not cost minutes of raster work (argparse only
+    # guards the CLI, not API callers)
+    if csv_format not in ("wide", "long", "both"):
+        raise ValueError(f"csv_format must be wide|long|both, "
+                         f"got {csv_format!r}")
     import numpy as np
     import pandas as pd
     import xarray as xr
@@ -213,9 +219,6 @@ def process_cmorph_to_fenhe(nc_glob: str, shp_path: str, out_dir: str, year: int
     for m in acc.pop("messages"):
         print(f"[QC] {year}: {m}")
 
-    if csv_format not in ("wide", "long", "both"):
-        raise ValueError(f"csv_format must be wide|long|both, "
-                         f"got {csv_format!r}")
     results, result_dates = {}, {}
     for name, (arr, dates) in acc.items():
         npy_path = os.path.join(out_dir, f"fenhe_{name}_{year}.npy")

@@ -52,6 +52,16 @@ def load_satellite_csv(path: str):
             df = df[~dups]
         pivot = df.pivot_table(index="time", columns=["lat", "lon"],
                                values="precip").sort_index()
+        # reindex to the FULL lat x lon grid: pivot_table only materializes
+        # OBSERVED (lat, lon) pairs, so a cell that was NaN on every day
+        # (dropped entirely at export) would vanish from the grid and
+        # nearest_cell could bind a station to a different, farther cell
+        # than the wide format would — format-dependent metrics. Restored
+        # as all-NaN columns, such cells lose nearest_cell ties exactly
+        # like their wide counterparts (overlap=0 metrics).
+        full = pd.MultiIndex.from_product(
+            [np.sort(df["lat"].unique()), np.sort(df["lon"].unique())])
+        pivot = pivot.reindex(columns=full)
         coords = np.array(list(pivot.columns), dtype=np.float64)
         return (pivot.index, coords[:, 0], coords[:, 1],
                 pivot.to_numpy(dtype=np.float32))

@@ -83,6 +83,40 @@ def test_predictor_data_parallel(tmp_path, rng):
         load_predictor(cfg, ckpt, data_parallel="bogus")
 
 
+def test_predictor_data_parallel_pallas_rollout(tmp_path, rng):
+    """DP predict composes with the Pallas rollout kernel: Mosaic custom
+    calls cannot be GSPMD-auto-partitioned (bare jit with sharded inputs
+    raises NotImplementedError at lowering), so the DP wrapper runs the
+    predict program under shard_map — each device executes the whole kernel
+    on its local batch shard. Pinned here on the 8-device mesh in interpret
+    mode with rollout_impl='pallas' forcing the kernel branch."""
+    import jax
+
+    from pl_convlstm_gan_tpu.predict import build_model
+    from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
+
+    cfg = Config.from_dict({
+        "data": {"source": "synthetic"},
+        "model": {"family": "forecaster", "hidden_dims": [64, 64],
+                  "input_frames": 2, "output_frames": 3,
+                  "rollout_impl": "pallas"},
+        "training": {"batch_size": 8},
+        "output": {"output_dir": str(tmp_path / "out")},
+    })
+    model = build_model(cfg)
+    frames = jnp.asarray(rng.random((8, 2, 1, 8, 8)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), frames)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+
+    single = load_predictor(cfg, ckpt, data_parallel="off")
+    dp = load_predictor(cfg, ckpt, data_parallel="require")
+    out = dp(frames)
+    assert len(out.sharding.device_set) == jax.device_count()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(single(frames)),
+                               atol=1e-5, rtol=1e-5)
+
+
 def test_predictor_generator(tmp_path, rng):
     cfg = Config.from_dict({
         "data": {"source": "synthetic", "synthetic_num_sequences": 48,

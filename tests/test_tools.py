@@ -144,6 +144,17 @@ def test_load_satellite_csv_reference_long_format(tmp_path):
     t3, _, _, v3 = load_satellite_csv(str(tmp_path / "dup.csv"))
     np.testing.assert_allclose(v3[0], vals[0].reshape(-1))  # first kept
 
+    # a cell NaN on EVERY day (all its rows dropped at export) must still
+    # occupy its grid slot as an all-NaN column — otherwise nearest_cell
+    # binds stations to different cells than the wide format would
+    holey = long_df[~((long_df.lat == 37.0) & (long_df.lon == 112.0))]
+    holey.to_csv(tmp_path / "holey.csv", index=False)
+    t4, la4, lo4, v4 = load_satellite_csv(str(tmp_path / "holey.csv"))
+    assert v4.shape == (4, 4)           # full grid, not 3 observed cells
+    np.testing.assert_allclose(la4, [36.0, 36.0, 37.0, 37.0])
+    np.testing.assert_allclose(lo4, [111.0, 112.0, 111.0, 112.0])
+    assert np.isnan(v4[:, 3]).all() and np.isfinite(v4[:, :3]).all()
+
 
 def test_torch_checkpoint_roundtrip(tmp_path):
     """our params -> reference-style state_dict -> back == identity; and the
