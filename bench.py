@@ -271,6 +271,31 @@ def bench_secondary(iters: int) -> dict:
                 fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10,
                 iters=iters)
             out["stream_forecast30_pallas_b8_p50_s"] = res8["p50"]
+
+        # 256px serving family (config #5 shapes; round-4): XLA scan, plus
+        # the streamed-I/O kernel once its Mosaic compile is hardware-
+        # validated (auto=True keeps this honest — the field appears only
+        # after _MOSAIC_VALIDATED_STREAMED flips)
+        sfr256 = jnp.asarray(
+            rng.random((1, 5, 1, 256, 256)).astype(np.float32))
+        sf256 = StreamingForecaster(scfg, svars)   # params are size-free
+        warm256, _ = sf256.observe_window(sf256.init_state(1, 256, 256),
+                                          sfr256)
+        res = benchmark_chained(
+            lambda _: sf256._jit_forecast(sf256._vars, warm256, horizon=30),
+            None, fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=4,
+            iters=max(3, iters // 2))
+        out["stream256_forecast30_p50_s"] = res["p50"]
+        if jax.default_backend() == "tpu" and rollout_pallas_fits(
+                1, 30, 1, 1, 256, 256, (64, 64), 3, 2, warm=True,
+                auto=True):
+            pk256 = jax.jit(lambda c, p: rollout_pallas_from_state(
+                sf256._vars["params"], c, p, 30, jnp.bfloat16))
+            res = benchmark_chained(
+                lambda _: pk256(warm256.cells, warm256.prev_out), None,
+                fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=4,
+                iters=max(3, iters // 2))
+            out["stream256_forecast30_pallas_p50_s"] = res["p50"]
     except Exception as e:  # the headline must survive a streaming regression
         print(f"streaming bench skipped: {e}", file=sys.stderr)
     return out
