@@ -56,6 +56,12 @@ def main():
     xla_fn = jax.jit(lambda p, x: model.apply(p, x))
     pl_fn = jax.jit(lambda p, x: rollout_pallas(p, x, t_out, jnp.bfloat16,
                                                 io_mode=args.io_mode))
+    # third contender: the int8 PTQ rollout (models/quantized.py) — s8xs8->s32
+    # MXU convs; 2x the bf16 MXU rate on v5e IF XLA lowers to the int8 path
+    from pl_convlstm_gan_tpu.models.quantized import (
+        prepare_int8_forecaster, rollout_int8)
+    qparams = prepare_int8_forecaster(params)
+    i8_fn = jax.jit(lambda q, x: rollout_int8(q, x, t_out))
 
     # numerics first (bf16 tolerance)
     ref = xla_fn(params, frames)
@@ -63,26 +69,32 @@ def main():
     err = float(jnp.abs(out - ref).max())
     print(f"max |pallas - xla| = {err:.3e} (bf16 rollout)", flush=True)
     assert err < 0.1, "rollout kernel numerics diverged"
+    oi8 = i8_fn(qparams, frames)
+    rel8 = float(jnp.abs(oi8 - ref).mean() / jnp.abs(ref).mean())
+    print(f"int8 vs xla rel err = {rel8:.4f} (PTQ tolerance, "
+          f"quality per checkpoint: experiments/int8_quality.py)", flush=True)
+    assert rel8 < 0.2, "int8 rollout numerics diverged"
 
     # the project timing protocol for small-program A/Bs (CLAUDE.md): warm
     # EVERY contender >= 10 calls + fetch (per-program dispatch-path warmup
     # spans whole early batches), then INTERLEAVE timed batches and take
     # per-program medians so launch-to-launch drift hits both equally
     import time
-    fns = (("xla scan", xla_fn), ("pallas multi-step", pl_fn))
-    for _, fn in fns:
+    fns = (("xla scan", xla_fn, params), ("pallas multi-step", pl_fn, params),
+           ("int8 scan", i8_fn, qparams))
+    for _, fn, p in fns:
         for _ in range(10):
-            o = fn(params, frames)
+            o = fn(p, frames)
         float(o[0, 0, 0, 0, 0])
-    times = {name: [] for name, _ in fns}
+    times = {name: [] for name, _, _ in fns}
     for _ in range(10):
-        for name, fn in fns:
+        for name, fn, p in fns:
             start = time.perf_counter()
             for _ in range(10):
-                o = fn(params, frames)
+                o = fn(p, frames)
             float(o[0, 0, 0, 0, 0])
             times[name].append((time.perf_counter() - start) / 10)
-    for name, _ in fns:
+    for name, _, _ in fns:
         p50 = float(np.median(times[name]))
         fps = batch * t_out / p50
         print(f"{name}: p50 {p50 * 1e3:.2f} ms/rollout "

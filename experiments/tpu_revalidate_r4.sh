@@ -66,6 +66,12 @@ echo "=== 9) convergence regression: nowcast_128 recipe on the final tree ==="
 timeout 3600 python main.py --config nowcast_128
 timeout 1200 python main.py --config nowcast_128 --mode eval
 
+echo "=== 9b) int8 PTQ serving: quality on the trained nowcast_128 ckpt ==="
+# f32 vs int8 test-set L1/SSIM through the same eval pipeline; latency A/B
+# already rides along in steps 1/4/6 (rollout_kernel_bench prints an
+# 'int8 scan' row). CPU smoke on a tiny ckpt measured +0.01% L1.
+timeout 1800 python experiments/int8_quality.py --config nowcast_128
+
 echo "=== 10) convergence regression: gan_64 recipe on the final tree ==="
 # recorded reference (docs/design.md lambda ablation, lambda_adv=0.001 row):
 # test L1 0.1051 / SSIM 0.537 (~9 min wall on v5e-1)

@@ -69,7 +69,9 @@ class ModelConfig:
     # "auto" = the multi-step VMEM-resident Pallas rollout kernel on TPU when
     # the shape family fits (measured 28% faster than the scan at the bench
     # shape — docs/design.md), else the lax.scan rollout; "xla"/"pallas"
-    # force one. Serving export always uses "xla" (portable StableHLO).
+    # force one; "int8" = post-training-quantized rollout (s8xs8->s32 MXU
+    # convs, models/quantized.py — quality delta measured per checkpoint).
+    # Serving export always uses "xla" (portable StableHLO).
     rollout_impl: str = "auto"
     remat: bool = False            # rematerialized scan body (O(1) memory in T)
     remat_policy: str = ""         # "" (full) | "save_z" | "dots" (selective)
@@ -239,10 +241,10 @@ class Config:
             raise ValueError(f"Unknown model family: {self.model.family}")
         if self.precision.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"Unknown compute dtype: {self.precision.compute_dtype}")
-        if self.model.rollout_impl not in ("auto", "xla", "pallas"):
+        if self.model.rollout_impl not in ("auto", "xla", "pallas", "int8"):
             raise ValueError(
                 f"Unknown rollout_impl: {self.model.rollout_impl!r} "
-                f"(valid: 'auto', 'xla', 'pallas')")
+                f"(valid: 'auto', 'xla', 'pallas', 'int8')")
         if self.model.remat_policy not in ("", "save_z", "dots"):
             raise ValueError(
                 f"Unknown remat_policy: {self.model.remat_policy!r} "

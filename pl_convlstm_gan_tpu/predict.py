@@ -78,7 +78,25 @@ def build_predict_fn(config: Config, checkpoint_path: str,
 
     if config.model.family in ("forecaster", "gan"):
         impl = rollout_impl or config.model.rollout_impl
-        if impl in ("pallas", "auto"):
+        if impl == "int8":
+            # post-training-quantized rollout: s8 x s8 -> s32 MXU convs, f32
+            # gates (models/quantized.py). Weights quantize ONCE here; the
+            # returned closure is jit-able and export-able (int8 convs are
+            # plain StableHLO). Quality is a per-checkpoint property — check
+            # it with experiments/int8_rollout.py before deploying.
+            from .models.quantized import (prepare_int8_forecaster,
+                                           rollout_int8)
+            q = prepare_int8_forecaster(params)
+            t_out_q = output_frames or config.model.output_frames
+            t_in_q = config.model.input_frames
+
+            def fn(frames):
+                if frames.shape[1] != t_in_q:
+                    raise ValueError(
+                        f"expected a {t_in_q}-frame input window "
+                        f"(model.input_frames), got {frames.shape[1]}")
+                return rollout_int8(q, frames, t_out_q)
+        elif impl in ("pallas", "auto"):
             # multi-step VMEM-resident rollout kernel (whole autoregressive
             # rollout in one kernel, state never leaves VMEM — measured 28%
             # faster than the scan at the bench shape, docs/design.md).

@@ -95,6 +95,7 @@ class StreamingForecaster:
         self._jit_forecast = jax.jit(self._forecast_scan,
                                      static_argnames="horizon")
         self._jit_forecast_pallas = None    # built on first TPU-kernel use
+        self._jit_forecast_int8 = None      # built on first int8 forecast
 
     @classmethod
     def from_checkpoint(cls, config: Config, checkpoint_path: str
@@ -225,6 +226,22 @@ class StreamingForecaster:
         (ops/pallas/rollout_kernel.py)."""
         if horizon < 1:
             raise ValueError(f"horizon must be >= 1, got {horizon}")
+        if self._rollout_impl == "int8":
+            # quantized decode (models/quantized.py): the forecast scan is the
+            # hot path (horizon MXU conv steps); assimilation (observe) stays
+            # float — it is one step per new frame and sets the state the
+            # whole stream depends on. Weights quantize once, lazily.
+            if self._jit_forecast_int8 is None:
+                from .models.quantized import (prepare_int8_forecaster,
+                                               rollout_int8_from_state)
+                q = prepare_int8_forecaster(
+                    {"params": {"core": self._vars["params"]}})
+                self._jit_forecast_int8 = jax.jit(
+                    lambda qt, prev, cells, horizon:
+                    rollout_int8_from_state(qt, prev, cells, horizon)[0],
+                    static_argnames="horizon"), q
+            fn, q = self._jit_forecast_int8
+            return fn(q, state.prev_out, state.cells, horizon=horizon)
         if self._rollout_impl in ("pallas", "auto"):
             from .ops.pallas.rollout_kernel import rollout_pallas_from_state
             b, h, w, _ = state.prev_out.shape
