@@ -17,9 +17,10 @@ Why this needs NO calibration data (the usual PTQ burden):
   analytic activation scale 1/127 (``ops.quant.UNIT_SCALE``).
 - Only the first cell's frame input is unbounded (observed frames during
   encode, the model's own predictions during decode). Its scale is computed
-  dynamically per step from the tensor itself (one VPU absmax over
-  [B, H, W, C] against four MXU convs per cell) — robust to decode-phase
-  drift with zero calibration passes. The linearity split
+  dynamically per step and per SAMPLE (one VPU absmax over [H, W, C] against
+  four MXU convs per cell) — robust to decode-phase drift with zero
+  calibration passes, deterministic under dynamic batching (no batchmate
+  coupling), and bit-identical under the data-parallel predict shard_map. The linearity split
   ``conv(x ++ h) == conv_x(x) + conv_h(h)`` (ops/convlstm.py:130-136) is what
   lets the two inputs carry different scales.
 - Weights are per-output-channel symmetric int8; the dequant is a [4*Ch]

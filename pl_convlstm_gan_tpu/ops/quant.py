@@ -47,18 +47,28 @@ def quantize_weight(w: jnp.ndarray):
 def quantize_act(x: jnp.ndarray, scale) -> jnp.ndarray:
     """Symmetric per-tensor int8 quantization: round(x / scale), clipped.
 
-    ``scale`` is a scalar (static python float or traced 0-d array). Values
-    beyond +-127*scale saturate — callers either guarantee the bound
-    analytically (hidden states) or derive ``scale`` from the tensor's own
-    absmax (frame inputs)."""
+    ``scale`` is a scalar (static python float or traced 0-d array) or a
+    broadcastable per-sample array (``dynamic_scale``). Values beyond
+    +-127*scale saturate — callers either guarantee the bound analytically
+    (hidden states) or derive ``scale`` from the tensor's own absmax (frame
+    inputs)."""
     q = jnp.round(x.astype(jnp.float32) / scale)
     return jnp.clip(q, -QMAX, QMAX).astype(jnp.int8)
 
 
 def dynamic_scale(x: jnp.ndarray):
-    """Per-tensor dynamic activation scale: absmax(x)/127, floored to keep an
-    all-zero tensor (e.g. the first decode step's padding) well-defined."""
-    return jnp.maximum(jnp.max(jnp.abs(x.astype(jnp.float32))), 1e-12) / QMAX
+    """Per-SAMPLE dynamic activation scale for [B, ...] activations:
+    absmax over the non-batch axes / 127, shape [B, 1, ...] (broadcastable).
+
+    Per-sample, not per-tensor, on purpose: a whole-batch absmax would make
+    each sample's quantization grid depend on its batchmates' magnitudes —
+    non-deterministic serving under dynamic batching, and shard-local scales
+    would break data-parallel == single-device exactness under the predict
+    shard_map. Floored so an all-zero tensor (the first decode step's
+    padding) stays well-defined."""
+    axes = tuple(range(1, x.ndim))
+    absmax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axes, keepdims=True)
+    return jnp.maximum(absmax, 1e-12) / QMAX
 
 
 def conv2d_int8(xq: jnp.ndarray, wq: jnp.ndarray,

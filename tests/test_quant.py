@@ -59,9 +59,14 @@ def test_quantize_act_rounds_and_saturates():
     assert q.dtype == jnp.int8
     np.testing.assert_array_equal(
         np.asarray(q), [0, 64, -64, 127, -127, 127, -127])
-    # dynamic scale makes any tensor representable without saturation
-    s = dynamic_scale(x)
-    assert float(jnp.max(jnp.abs(x / s))) <= QMAX + 1e-6
+    # dynamic scale makes any tensor representable without saturation, and
+    # is PER-SAMPLE: sample 0's huge magnitude must not coarsen sample 1's
+    # quantization grid (determinism under dynamic batching, DP exactness)
+    xb = jnp.stack([x * 100.0, x])
+    s = dynamic_scale(xb)
+    assert s.shape == (2, 1)
+    assert float(jnp.max(jnp.abs(xb / s))) <= QMAX + 1e-6
+    assert float(s[1, 0]) * 100 == pytest.approx(float(s[0, 0]))
 
 
 def _tiny(b=2, t_in=4, t_out=8, hw=12, hidden=(12, 12)):
@@ -180,6 +185,31 @@ def test_predict_int8_impl(tmp_path):
     assert out.shape == ref.shape and rel < 0.08
     with pytest.raises(ValueError, match="input window"):
         build_predict_fn(cfg, ckpt)(frames[:, :2])
+
+
+def test_predict_int8_data_parallel(tmp_path):
+    """int8 predict composes with batch-sharded DP (plain XLA — shard_map
+    partitions it), and the per-SAMPLE dynamic frame scale makes the sharded
+    result EXACTLY equal to single-device (a whole-batch scale would differ
+    across shard-local batches)."""
+    import jax
+
+    from pl_convlstm_gan_tpu.predict import load_predictor
+    from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
+    cfg = _cfg("int8")
+    m, params, _ = _tiny(b=8)
+    # heterogeneous magnitudes across the batch: the case a whole-batch
+    # scale would get wrong under sharding
+    frames = jax.random.uniform(jax.random.PRNGKey(2), (8, 4, 1, 12, 12))
+    frames = frames * jnp.linspace(0.1, 10.0, 8)[:, None, None, None, None]
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+    single = load_predictor(cfg, ckpt, data_parallel="off")
+    dp = load_predictor(cfg, ckpt, data_parallel="require")
+    out_dp = dp(frames)
+    assert len(out_dp.sharding.device_set) == jax.device_count() == 8
+    np.testing.assert_array_equal(np.asarray(out_dp),
+                                  np.asarray(single(frames)))
 
 
 def test_streaming_int8_forecast():
