@@ -64,11 +64,14 @@ def export_model(config: Config, checkpoint_path: str, example_args: Sequence,
     they determine the compiled program): forecaster/gan families take
     ``(frames,)``; the generator takes ``(rain_lr, dem, lu)``. Returns the
     serialized artifact bytes for ``load_exported``."""
-    # export always uses the XLA rollout: the serving artifact must carry
-    # portable TPU+CPU StableHLO lowerings, and the pallas rollout kernel is a
-    # TPU-only Mosaic custom call
+    # export carries only PORTABLE rollouts (the artifact must lower for
+    # TPU+CPU StableHLO): the pallas kernel is a TPU-only Mosaic custom call,
+    # so "pallas"/"auto" coerce to the XLA scan — but "int8"
+    # (models/quantized.py) is plain StableHLO (s8 convs) and exports as-is,
+    # weights quantized INTO the artifact
+    impl = "int8" if config.model.rollout_impl == "int8" else "xla"
     fn = build_predict_fn(config, checkpoint_path, lu_channels, output_frames,
-                          rollout_impl="xla")
+                          rollout_impl=impl)
     specs = _example_specs(example_args, batch_polymorphic)
     exported = _jax_export.export(
         jax.jit(fn), platforms=tuple(platforms or DEFAULT_PLATFORMS))(*specs)

@@ -212,6 +212,31 @@ def test_predict_int8_data_parallel(tmp_path):
                                   np.asarray(single(frames)))
 
 
+def test_export_int8_artifact_roundtrip(tmp_path):
+    """A config with rollout_impl 'int8' AOT-exports the QUANTIZED rollout
+    (int8 convs are portable StableHLO, unlike the Mosaic kernel): the
+    serialized artifact reproduces in-process int8 predict exactly and is
+    batch-polymorphic."""
+    from pl_convlstm_gan_tpu.predict import build_predict_fn
+    from pl_convlstm_gan_tpu.serve import export_model, load_exported
+    from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
+    cfg = _cfg("int8")
+    m, params, frames = _tiny()
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+    blob = export_model(cfg, ckpt, (frames[:1],))
+    serve = load_exported(blob)
+    inproc = jax.jit(build_predict_fn(cfg, ckpt))
+    np.testing.assert_array_equal(np.asarray(serve(frames)),
+                                  np.asarray(inproc(frames)))
+    # quantized, not the float program: far from f32 at f32 tolerance
+    ref = np.asarray(m.apply(params, frames))
+    assert np.abs(np.asarray(serve(frames)) - ref).max() > 1e-6
+    # batch polymorphism survives the int8 ops (b=3 != example b=2)
+    out3 = serve(frames[:1].repeat(3, axis=0))
+    assert out3.shape[0] == 3
+
+
 def test_streaming_int8_forecast():
     """StreamingForecaster(rollout_impl='int8'): float observe (assimilation
     unchanged — bit-identical state to the xla configuration), quantized
