@@ -137,6 +137,23 @@ def bench_jax(iters: int) -> dict:
     except Exception as e:  # the headline must survive a kernel regression
         print(f"pallas rollout bench skipped: {e}", file=sys.stderr)
 
+    # int8 PTQ rollout (round 4, models/quantized.py): s8xs8->s32 MXU convs.
+    # TPU-gated like the kernel row — the CPU int8 conv path is unoptimized
+    # and would burn minutes for a meaningless number
+    int8_rollout_p50 = None
+    try:
+        if jax.default_backend() == "tpu":
+            from pl_convlstm_gan_tpu.models.quantized import (
+                prepare_int8_forecaster, rollout_int8)
+            qparams = prepare_int8_forecaster(state.params)
+            ik = jax.jit(lambda q, x: rollout_int8(q, x, T_OUT))
+            qres = benchmark_chained(lambda _: ik(qparams, inputs), None,
+                                     fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                                     chain=chain, iters=iters, warmup=1)
+            int8_rollout_p50 = qres["p50"]
+    except Exception as e:  # ditto
+        print(f"int8 rollout bench skipped: {e}", file=sys.stderr)
+
     res = {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
            "p50_step_sync_s": p50_sync,
            "p50_rollout_latency_s": ires["p50"],
@@ -144,6 +161,8 @@ def bench_jax(iters: int) -> dict:
            "loss": float(m["total"])}
     if pallas_rollout_p50 is not None:
         res["p50_rollout_latency_pallas_s"] = pallas_rollout_p50
+    if int8_rollout_p50 is not None:
+        res["p50_rollout_latency_int8_s"] = int8_rollout_p50
     if roofline:
         res["modeled_tflops_per_s"] = roofline["flops"] / p50 / 1e12
         res["mfu"] = roofline["flops"] / p50 / (PEAK_BF16_TFLOPS * 1e12)
