@@ -171,12 +171,30 @@ def export_streaming(config: Config, checkpoint_path: str, height: int,
     frame_spec = jax.ShapeDtypeStruct((b, meta["channels"], height, width),
                                       np.float32)
 
+    # rollout_impl 'int8' swaps the PORTABLE forecast programs for the
+    # quantized decode (plain StableHLO — exports TPU+CPU, symbolic batch,
+    # weights quantized into the blob); observe stays float by design
+    quantized = config.model.rollout_impl == "int8"
+    forecast_fn = (sf.export_forecast_int8_fn if quantized
+                   else sf.export_forecast_fn)
+    if quantized:
+        meta["rollout"] = "int8"
+        # kernel entries are bf16 Mosaic programs the server would prefer on
+        # TPU — silently serving NON-quantized forecasts from an artifact the
+        # user exported as int8. Skip them; 'require' is a contradiction.
+        if tpu_kernel == "require":
+            raise ValueError(
+                "tpu_kernel='require' contradicts rollout_impl 'int8': the "
+                "Pallas kernel programs are bf16 and would shadow the "
+                "quantized forecast on TPU — export with tpu_kernel='off' "
+                "(or a non-int8 config)")
+        tpu_kernel = "off"
     entries = [("observe", _jax_export.export(
         jax.jit(sf.export_observe_fn()), platforms=plats)(
             state_spec, frame_spec).serialize())]
     for h in horizons:
         entries.append((f"forecast_{h}", _jax_export.export(
-            jax.jit(sf.export_forecast_fn(h)), platforms=plats)(
+            jax.jit(forecast_fn(h)), platforms=plats)(
                 state_spec).serialize()))
 
     # TPU-only Pallas-kernel forecast programs at the pinned batch size

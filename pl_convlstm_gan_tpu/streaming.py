@@ -168,6 +168,22 @@ class StreamingForecaster:
                                        horizon)
         return fn
 
+    def export_forecast_int8_fn(self, horizon: int):
+        """QUANTIZED portable variant of ``export_forecast_fn``
+        (``rollout_impl: int8``): the int8 decode (models/quantized.py) is
+        plain StableHLO, so unlike the Mosaic kernel it exports for TPU+CPU
+        with a symbolic batch; weights quantize at trace time INTO the
+        artifact. Observe programs stay float by design (assimilation is one
+        step per frame and sets the state every branch depends on)."""
+        from .models.quantized import (prepare_int8_forecaster,
+                                       rollout_int8_from_state)
+        q = prepare_int8_forecaster({"params": {"core": self._vars["params"]}})
+
+        def fn(state_tuple):
+            cells, prev = state_tuple
+            return rollout_int8_from_state(q, prev, tuple(cells), horizon)[0]
+        return fn
+
     def pallas_forecast_fits(self, batch: int, height: int, width: int,
                              horizon: int, auto: bool = False) -> bool:
         """Whether the warm-start Pallas rollout kernel supports this shape

@@ -237,6 +237,51 @@ def test_export_int8_artifact_roundtrip(tmp_path):
     assert out3.shape[0] == 3
 
 
+def test_streaming_export_int8(tmp_path):
+    """An int8 config exports a streaming artifact whose FORECAST programs
+    are the quantized decode (exact vs in-process int8 streaming; observe
+    stays float), with the 'rollout: int8' header marker and NO bf16 kernel
+    entries that could shadow the quantized path on TPU."""
+    from pl_convlstm_gan_tpu.serve import (export_streaming,
+                                           load_streaming_exported,
+                                           parse_stream_header)
+    from pl_convlstm_gan_tpu.streaming import StreamingForecaster
+    from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
+    cfg = _cfg("int8")
+    m, params, frames = _tiny()
+    b, _, _, hw, _ = frames.shape
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, {"params": params}, {"epoch": 0, "rmse": 1.0})
+
+    with pytest.raises(ValueError, match="contradicts"):
+        export_streaming(cfg, ckpt, hw, hw, horizons=(3,),
+                         tpu_kernel="require")
+
+    blob = export_streaming(cfg, ckpt, hw, hw, horizons=(3,))
+    meta, _ = parse_stream_header(blob)
+    assert meta["rollout"] == "int8"
+    assert not meta.get("pallas_horizons")
+    server = load_streaming_exported(blob)
+
+    sf = StreamingForecaster(cfg, params)
+    ref_state = sf.init_state(b, hw, hw)
+    state = server.init_state(b)
+    for t in range(frames.shape[1]):
+        ref_state, ref_now = sf.observe(ref_state, frames[:, t])
+        state, now = server.observe(state, frames[:, t])
+        np.testing.assert_allclose(np.asarray(now), np.asarray(ref_now),
+                                   rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(server.forecast(state, 3)),
+                                  np.asarray(sf.forecast(ref_state, 3)))
+    # and it IS quantized: differs from the float streaming decode
+    sf_f = StreamingForecaster(_cfg("xla"), params)
+    st_f = sf_f.init_state(b, hw, hw)
+    for t in range(frames.shape[1]):
+        st_f, _ = sf_f.observe(st_f, frames[:, t])
+    assert np.abs(np.asarray(server.forecast(state, 3))
+                  - np.asarray(sf_f.forecast(st_f, 3))).max() > 1e-6
+
+
 def test_streaming_int8_forecast():
     """StreamingForecaster(rollout_impl='int8'): float observe (assimilation
     unchanged — bit-identical state to the xla configuration), quantized
