@@ -78,4 +78,7 @@ echo "=== 10) convergence regression: gan_64 recipe on the final tree ==="
 timeout 3600 python main.py --config gan_64
 timeout 1200 python main.py --config gan_64 --mode eval
 
+echo "=== 10b) int8 PTQ serving: quality on the trained gan_64 ckpt ==="
+timeout 1800 python experiments/int8_quality.py --config gan_64
+
 echo "=== all done ==="
