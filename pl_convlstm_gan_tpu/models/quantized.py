@@ -6,8 +6,9 @@ s8 x s8 -> s32 convolutions at 2x the bf16 rate, so quantizing the rollout's
 convs — where all the FLOPs are — targets the compute-bound half of
 autoregressive serving. Numerics are validated against the f32 scan on CPU
 (``tests/test_quant.py``); the speed claim is gated on hardware measurement
-(``experiments/int8_rollout.py``), per the repo's kernel-validation
-discipline.
+(the ``int8 scan`` row of ``experiments/rollout_kernel_bench.py`` plus
+``experiments/int8_quality.py`` for checkpoint quality), per the repo's
+kernel-validation discipline.
 
 Why this needs NO calibration data (the usual PTQ burden):
 

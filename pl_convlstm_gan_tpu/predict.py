@@ -83,7 +83,7 @@ def build_predict_fn(config: Config, checkpoint_path: str,
             # gates (models/quantized.py). Weights quantize ONCE here; the
             # returned closure is jit-able and export-able (int8 convs are
             # plain StableHLO). Quality is a per-checkpoint property — check
-            # it with experiments/int8_rollout.py before deploying.
+            # it with experiments/int8_quality.py before deploying.
             from .models.quantized import (prepare_int8_forecaster,
                                            rollout_int8)
             q = prepare_int8_forecaster(params)
