@@ -71,17 +71,24 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 # hardware (docs/design.md rollout table). ``auto`` dispatch (predict,
 # streaming forecast, artifact export with tpu_kernel=auto) only selects the
 # kernel for these; explicit ``rollout_impl: pallas`` / ``tpu_kernel=require``
-# may opt into any family ``rollout_pallas_fits`` accepts. The 3-cell variant
-# is parity-exact in interpret mode and its warm-start state is lane-padded
-# to the 128 tile so it uses only layout/slice patterns the 2-cell path
-# validated — flip to (2, 3) once compiled + timed on-device.
-_MOSAIC_VALIDATED_CELLS = (2,)
+# may opt into any family ``rollout_pallas_fits`` accepts. 3-cell validated
+# on v5e 2026-08-19 (experiments/tpu_revalidate_r4.sh step 1): cold Mosaic
+# compile green, parity 1.2e-4 vs the XLA scan, 21.72 vs 34.29 ms at the
+# flagship nowcast_128 shape (-36.7%); warm streaming forecast h=10
+# 4.53 vs 5.60 ms (+19.1%).
+_MOSAIC_VALIDATED_CELLS = (2, 3)
 
 # Same gate for the streamed-I/O variant (frames/outputs/warm seeds resident
-# in HBM, double-buffered per-step DMA): parity-exact in interpret mode and
-# client-side TPU lowering pinned, but its server-side Mosaic compile has not
-# run on hardware yet — flip once compiled + timed (the shapes it exists for,
-# 256x256 serving, only fit THIS variant's budget).
+# in HBM, double-buffered per-step DMA). Its server-side Mosaic compile of
+# the DMA descriptors IS hardware-green (v5e 2026-08-19, revalidate step 4:
+# parity 1.2e-4, 10.78 vs 15.46 ms at the bench shape = -30.3%), but the
+# shapes the variant exists FOR (256x256 serving, the only family whose
+# budget needs it) never finished timing: revalidate steps 5/6 hit their
+# 3600 s timeouts while a concurrent pytest contended the 1-core host
+# during the cold compiles. Flip once a quiet-box 256px run is green
+# (experiments/tpu_revalidate_r5.sh) — until then auto serves the XLA scan
+# at those shapes rather than gamble an unmeasured cold compile in a
+# user-facing predict call.
 _MOSAIC_VALIDATED_STREAMED = False
 
 

@@ -225,11 +225,12 @@ def test_rollout_fits_gate():
     assert rollout_pallas_fits(1, 30, 1, 1, 128, 128, (64, 64, 64), 3, 2,
                                warm=True)
     # auto (implicit) dispatch is limited to on-device-validated families:
-    # 2-cell yes, 3-cell only via explicit rollout_impl: pallas (auto=False)
+    # both 2- and 3-cell are hardware-validated (v5e 2026-08-19, -36.7% at
+    # the flagship 3-cell shape) so auto serves both
     assert rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 64), 3, 2,
                                auto=True)
-    assert not rollout_pallas_fits(5, 20, 4, 1, 128, 128, (64, 64, 64), 3, 2,
-                                   auto=True)
+    assert rollout_pallas_fits(5, 20, 4, 1, 128, 128, (64, 64, 64), 3, 2,
+                               auto=True)
     # unequal widths / 4 layers / multi-channel input: fall back
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 32), 3, 2)
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64,) * 4, 3, 2)
