@@ -67,10 +67,13 @@ class ModelConfig:
     convlstm_impl: str = "auto"    # "auto" | "xla" | "pallas"
     # inference-rollout kernel for predict (sequence families):
     # "auto" = the multi-step VMEM-resident Pallas rollout kernel on TPU when
-    # the shape family fits (measured 28% faster than the scan at the bench
-    # shape — docs/design.md), else the lax.scan rollout; "xla"/"pallas"
-    # force one; "int8" = post-training-quantized rollout (s8xs8->s32 MXU
-    # convs, models/quantized.py — quality delta measured per checkpoint).
+    # the shape family fits (measured -30% vs the scan at the bench shape,
+    # -36.7% at the 3-cell flagship shape — docs/design.md), else the
+    # lax.scan rollout; "xla"/"pallas" force one; "int8" =
+    # post-training-quantized rollout (models/quantized.py) — EXPERIMENTAL:
+    # measured 1.65x SLOWER than the bf16 scan on v5e (no XLA s8 conv path
+    # at these shapes) with a ~3.9x-but-2MB-absolute footprint win, so it is
+    # never auto-picked; quality delta measured per checkpoint.
     # Serving export always uses "xla" (portable StableHLO).
     rollout_impl: str = "auto"
     remat: bool = False            # rematerialized scan body (O(1) memory in T)
