@@ -53,7 +53,7 @@ SIZE, HORIZON = 128, 30
 
 
 def _checkpoint(tmpdir: str) -> str:
-    from pl_convlstm_gan_tpu.models import build_model
+    from pl_convlstm_gan_tpu.predict import build_model
     from pl_convlstm_gan_tpu.train.checkpoint import save_checkpoint
 
     config = load_config("gan_64")

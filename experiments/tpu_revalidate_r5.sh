@@ -26,6 +26,11 @@ echo "=== probe ==="
 timeout 150 python -c "import jax; print(jax.devices())" || {
   echo "tunnel down — aborting"; exit 1; }
 
+echo "=== 0) exported-artifact embedded kernel execution (r4 step 8 re-run) ==="
+# r4's run died on a stale import (build_model moved to predict) — fixed;
+# this is the one serving path with only CPU-lowering evidence
+timeout 3600 python experiments/artifact_latency.py
+
 echo "=== 1) streamed warm streaming @ 256x256 (re-run, quiet) ==="
 timeout 7200 python experiments/streaming_latency.py --size 256 \
     --io-mode streamed
