@@ -64,6 +64,7 @@ def bench_jax(iters: int) -> dict:
     # hand-computed FLOPs in experiments/xla_cost_model.py. Lower BEFORE any
     # execution: the step donates its state.
     roofline = {}
+    skips = {}
     try:
         from pl_convlstm_gan_tpu.utils.profiling import compiled_cost
         # pass the jitted step itself: identical program -> the AOT lower
@@ -74,7 +75,7 @@ def bench_jax(iters: int) -> dict:
         roofline = {"flops": cost["flops"] * trips,
                     "bytes": cost["bytes_accessed"] * trips}
     except Exception as e:  # cost model availability varies by backend
-        print(f"cost model unavailable: {e}", file=sys.stderr)
+        skips["mfu"] = f"cost model unavailable: {e}"
 
     # warmup/compile; float() fetch is the reliable full-pipeline sync through
     # the axon tunnel (block_until_ready alone under-reports there)
@@ -127,22 +128,32 @@ def bench_jax(iters: int) -> dict:
     try:
         from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
             rollout_pallas, rollout_pallas_fits)
-        if jax.default_backend() == "tpu" and rollout_pallas_fits(
-                T_IN, T_OUT, BATCH, 1, SIZE, SIZE, HIDDEN, 3, 2):
+        if jax.default_backend() != "tpu":
+            skips["p50_rollout_latency_pallas_s"] = \
+                f"backend is {jax.default_backend()}, kernel rows are TPU-only"
+        elif not rollout_pallas_fits(T_IN, T_OUT, BATCH, 1, SIZE, SIZE,
+                                     HIDDEN, 3, 2):
+            skips["p50_rollout_latency_pallas_s"] = \
+                "rollout_pallas_fits rejected the bench shape"
+        else:
             pk = jax.jit(lambda p, x: rollout_pallas(p, x, T_OUT, jnp.bfloat16))
             pres = benchmark_chained(lambda _: pk(state.params, inputs), None,
                                      fetch=lambda o: float(o[0, 0, 0, 0, 0]),
                                      chain=chain, iters=iters, warmup=1)
             pallas_rollout_p50 = pres["p50"]
     except Exception as e:  # the headline must survive a kernel regression
-        print(f"pallas rollout bench skipped: {e}", file=sys.stderr)
+        skips["p50_rollout_latency_pallas_s"] = repr(e)
 
     # int8 PTQ rollout (round 4, models/quantized.py): s8xs8->s32 MXU convs.
     # TPU-gated like the kernel row — the CPU int8 conv path is unoptimized
     # and would burn minutes for a meaningless number
     int8_rollout_p50 = None
     try:
-        if jax.default_backend() == "tpu":
+        if jax.default_backend() != "tpu":
+            skips["p50_rollout_latency_int8_s"] = \
+                f"backend is {jax.default_backend()}, int8 convs are " \
+                "unoptimized on CPU (~70x slower, meaningless number)"
+        else:
             from pl_convlstm_gan_tpu.models.quantized import (
                 prepare_int8_forecaster, rollout_int8)
             qparams = prepare_int8_forecaster(state.params)
@@ -152,13 +163,14 @@ def bench_jax(iters: int) -> dict:
                                      chain=chain, iters=iters, warmup=1)
             int8_rollout_p50 = qres["p50"]
     except Exception as e:  # ditto
-        print(f"int8 rollout bench skipped: {e}", file=sys.stderr)
+        skips["p50_rollout_latency_int8_s"] = repr(e)
 
     res = {"p50_step_s": p50, "frames_per_sec": BATCH * T_OUT / p50,
            "p50_step_sync_s": p50_sync,
            "p50_rollout_latency_s": ires["p50"],
            "p50_rollout_latency_sync_s": float(np.median(itimes_sync)),
-           "loss": float(m["total"])}
+           "loss": float(m["total"]),
+           "skips": skips}
     if pallas_rollout_p50 is not None:
         res["p50_rollout_latency_pallas_s"] = pallas_rollout_p50
     if int8_rollout_p50 is not None:
@@ -189,6 +201,7 @@ def bench_secondary(iters: int) -> dict:
     from pl_convlstm_gan_tpu.utils.profiling import benchmark_chained
 
     out = {}
+    skips = {}
     # --- parity Generator (reference workload shapes)
     ds = SyntheticDownscalingDataset(num_days=64, T=5, lr_size=16,
                                      scale_factor=8, num_stations=16, seed=0)
@@ -275,8 +288,14 @@ def bench_secondary(iters: int) -> dict:
             lambda _: sf._jit_forecast(sf._vars, warm8, horizon=30), None,
             fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=10, iters=iters)
         out["stream_forecast30_b8_p50_s"] = res8["p50"]
-        if jax.default_backend() == "tpu" and rollout_pallas_fits(
-                1, 30, 1, 1, 128, 128, (64, 64), 3, 2, warm=True):
+        if jax.default_backend() != "tpu":
+            skips["stream_forecast30_pallas_p50_s"] = \
+                f"backend is {jax.default_backend()}, kernel rows are TPU-only"
+        elif not rollout_pallas_fits(1, 30, 1, 1, 128, 128, (64, 64), 3, 2,
+                                     warm=True):
+            skips["stream_forecast30_pallas_p50_s"] = \
+                "rollout_pallas_fits rejected the warm h=30 128px shape"
+        if "stream_forecast30_pallas_p50_s" not in skips:
             core = sf._vars["params"]
             pk = jax.jit(lambda c, p: rollout_pallas_from_state(
                 core, c, p, 30, jnp.bfloat16))
@@ -315,8 +334,44 @@ def bench_secondary(iters: int) -> dict:
                 fetch=lambda o: float(o[0, 0, 0, 0, 0]), chain=4,
                 iters=max(3, iters // 2))
             out["stream256_forecast30_pallas_p50_s"] = res["p50"]
+        else:
+            skips["stream256_forecast30_pallas_p50_s"] = (
+                "kernel rows are TPU-only"
+                if jax.default_backend() != "tpu" else
+                "auto dispatch rejected (streamed-I/O variant not "
+                "hardware-validated at 256px, or budget exceeded)")
+
+        # flagship nowcast_128 family (3 equal-width cells, 5-in/20-out):
+        # the hardware-validated rollout kernel `auto` now serves vs the XLA
+        # scan — the round-5 headline serving win (-36.7% measured on v5e)
+        from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+        fl_in = jnp.asarray(
+            rng.random((4, 5, 1, 128, 128)).astype(np.float32))
+        fl = ConvLSTMForecaster(hidden_dims=(64, 64, 64), input_frames=5,
+                                output_frames=20, dtype=jnp.bfloat16)
+        flp = fl.init(jax.random.PRNGKey(7), fl_in)
+        flx = jax.jit(lambda p, x: fl.apply(p, x))
+        res = benchmark_chained(lambda _: flx(flp, fl_in), None,
+                                fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                                chain=4, iters=max(3, iters // 2), warmup=1)
+        out["flagship3_rollout_xla_p50_s"] = res["p50"]
+        if jax.default_backend() == "tpu" and rollout_pallas_fits(
+                5, 20, 4, 1, 128, 128, (64, 64, 64), 3, 2, auto=True):
+            flk = jax.jit(lambda p, x: rollout_pallas(p, x, 20, jnp.bfloat16))
+            res = benchmark_chained(lambda _: flk(flp, fl_in), None,
+                                    fetch=lambda o: float(o[0, 0, 0, 0, 0]),
+                                    chain=4, iters=max(3, iters // 2),
+                                    warmup=1)
+            out["flagship3_rollout_pallas_p50_s"] = res["p50"]
+        else:
+            skips["flagship3_rollout_pallas_p50_s"] = (
+                "kernel rows are TPU-only"
+                if jax.default_backend() != "tpu" else
+                "auto dispatch rejected the flagship 3-cell family "
+                "(_MOSAIC_VALIDATED_CELLS regressed?)")
     except Exception as e:  # the headline must survive a streaming regression
-        print(f"streaming bench skipped: {e}", file=sys.stderr)
+        skips["streaming_rows"] = repr(e)
+    out["_skips"] = skips
     return out
 
 
@@ -462,11 +517,17 @@ def main():
               "modeled_hbm_frac_of_roofline"):
         if k in jax_res:
             result[k] = round(jax_res[k], 3)
-    if "p50_rollout_latency_pallas_s" in jax_res:
-        result["p50_rollout_latency_pallas_s"] = round(
-            jax_res["p50_rollout_latency_pallas_s"], 4)
+    for k in ("p50_rollout_latency_pallas_s", "p50_rollout_latency_int8_s"):
+        if k in jax_res:
+            result[k] = round(jax_res[k], 4)
+    skips = dict(jax_res.get("skips", {}))
+    skips.update(secondary.pop("_skips", {}))
     for k, v in secondary.items():
         result[k] = round(v, 4)
+    # every intentionally-skipped row is visible in the JSON, not stderr —
+    # a missing row with no skip reason is a harness bug (round-4 VERDICT 4)
+    for k, v in skips.items():
+        result[f"skipped_{k}"] = v
     print(json.dumps(result))
 
 
