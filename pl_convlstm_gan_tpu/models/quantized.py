@@ -10,20 +10,24 @@ autoregressive serving. Numerics are validated against the f32 scan on CPU
 ``experiments/int8_quality.py`` for checkpoint quality), per the repo's
 kernel-validation discipline.
 
-Why this needs NO calibration data (the usual PTQ burden):
+Why this needs NO calibration data (the usual PTQ burden): every conv
+input's activation scale is computed dynamically per step and per SAMPLE
+(one VPU absmax over [H, W, C] against four MXU convs per cell) — robust to
+decode-phase drift with zero calibration passes, deterministic under dynamic
+batching (no batchmate coupling), and bit-identical under the data-parallel
+predict shard_map.
 
-- Hidden states are bounded by construction: ``h = sigmoid(o) * tanh(c')``
-  gives ``|h| < 1`` strictly, so every h-side conv input — and the input of
-  every stacked cell above the first, and the head conv's input — has the
-  analytic activation scale 1/127 (``ops.quant.UNIT_SCALE``).
-- Only the first cell's frame input is unbounded (observed frames during
-  encode, the model's own predictions during decode). Its scale is computed
-  dynamically per step and per SAMPLE (one VPU absmax over [H, W, C] against
-  four MXU convs per cell) — robust to decode-phase drift with zero
-  calibration passes, deterministic under dynamic batching (no batchmate
-  coupling), and bit-identical under the data-parallel predict shard_map. The linearity split
-  ``conv(x ++ h) == conv_x(x) + conv_h(h)`` (ops/convlstm.py:130-136) is what
-  lets the two inputs carry different scales.
+- The frame input is unbounded (observed frames during encode, the model's
+  own predictions during decode) so a dynamic scale is *required* there. The
+  linearity split ``conv(x ++ h) == conv_x(x) + conv_h(h)``
+  (ops/convlstm.py:130-136) is what lets the frame and hidden inputs of the
+  first cell carry different scales.
+- Hidden states are bounded by construction (``h = sigmoid(o) * tanh(c')``
+  gives ``|h| < 1`` strictly), so the analytic 1/127 scale
+  (``ops.quant.UNIT_SCALE``) would be *safe* — but converged checkpoints
+  hold hidden activations far below the bound, and the static grid cost
+  0.1-0.19 SSIM on trained models (design.md, round-5 trained-ckpt eval).
+  Hidden inputs therefore use the same per-sample dynamic scale.
 - Weights are per-output-channel symmetric int8; the dequant is a [4*Ch]
   broadcast multiply XLA fuses into the conv epilogue.
 
@@ -92,19 +96,31 @@ def prepare_int8_forecaster(params) -> Int8Forecaster:
 
 
 def _int8_step(q: Int8Forecaster, states, x):
-    """One quantized stacked-cell step: x [B,H,W,C] f32 -> (new_states, out)."""
+    """One quantized stacked-cell step: x [B,H,W,C] f32 -> (new_states, out).
+
+    EVERY conv input is quantized with a per-sample dynamic scale, not just
+    the frame input. The analytic |h| < 1 bound makes the static 1/127 scale
+    *safe* for hidden states but, on converged checkpoints, *wasteful*:
+    trained hidden activations sit far below the bound (absmax ~0.05 gives
+    ~6 effective levels out of 255), which is exactly the quality regression
+    the trained-ckpt eval measured (design.md: nowcast_128 SSIM -0.098,
+    gan_64 SSIM -0.190 with static scales; recovered with dynamic). The extra
+    cost is one VPU absmax per conv input — irrelevant next to int8's
+    already-measured latency negative."""
     h0, c0 = states[0]
     zx = apply_quant_conv(q.cell0.conv_x, x, act_scale=dynamic_scale(x))
-    zh = apply_quant_conv(q.cell0.conv_h, h0)   # carries the bias
+    zh = apply_quant_conv(q.cell0.conv_h, h0,   # carries the bias
+                          act_scale=dynamic_scale(h0))
     h, c = convlstm_gates(zx + zh, c0)
     new_states = [(h, c)]
     for li, qc in enumerate(q.cells):
         hi, ci = states[li + 1]
-        z = apply_quant_conv(qc, jnp.concatenate([h, hi], axis=-1))
+        xc = jnp.concatenate([h, hi], axis=-1)
+        z = apply_quant_conv(qc, xc, act_scale=dynamic_scale(xc))
         hi, ci = convlstm_gates(z, ci)
         new_states.append((hi, ci))
         h = hi
-    out = apply_quant_conv(q.head, h)
+    out = apply_quant_conv(q.head, h, act_scale=dynamic_scale(h))
     return tuple(new_states), out
 
 

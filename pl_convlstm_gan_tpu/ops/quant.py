@@ -10,11 +10,14 @@ symmetric per-output-channel weight scales keep the dequant a single
 broadcast multiply fused into the conv epilogue by XLA.
 
 Design notes (why no calibration pass is needed — see
-``models/quantized.py``): every conv input in the ConvLSTM stack except the
-very first frame input is a hidden state ``h = sigmoid(o) * tanh(c)`` with
-``|h| < 1`` by construction, so its activation scale is the *analytic*
-constant 1/127. Only the frame input needs a data-dependent scale, computed
-per step from the tensor itself (one tiny VPU reduction vs four MXU convs).
+``models/quantized.py``): every conv input's scale is computed dynamically
+per step and per sample from the tensor itself (one tiny VPU reduction vs
+four MXU convs) — no calibration set, no saturation risk. Hidden states
+(``h = sigmoid(o) * tanh(c)``, ``|h| < 1`` by construction) admit the
+analytic constant 1/127 (``UNIT_SCALE``, kept as ``quantize_conv``'s static
+default), but trained hidden activations sit far below the bound and the
+static grid measurably costs SSIM on converged checkpoints — the serving
+path passes dynamic scales everywhere.
 """
 from __future__ import annotations
 

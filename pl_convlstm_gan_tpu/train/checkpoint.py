@@ -169,10 +169,30 @@ def recover_checkpoint_dir(path: str) -> bool:
     return os.path.isdir(path)
 
 
+def _default_device_target(ckptr, state_path: str):
+    """Build a restore target from checkpoint METADATA, every leaf mapped onto
+    the current default device — the ``torch.load(map_location=...)`` analog
+    for orbax, which otherwise replays the *saved* sharding and fails when the
+    checkpoint was written on a device type absent here (a TPU-trained
+    checkpoint restored for CPU predict/eval, or vice versa)."""
+    import jax
+    meta = ckptr.metadata(state_path).item_metadata
+    sharding = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+    return jax.tree.map(
+        lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding),
+        meta)
+
+
 def restore_checkpoint(path: str, target: Optional[Any] = None
                        ) -> Tuple[Any, Dict]:
     """Restore (device_state, host_state). `target` (a matching pytree of arrays)
-    restores dtypes/shardings exactly; without it orbax infers the topology.
+    restores dtypes/shardings exactly; without it orbax first tries the saved
+    topology, then falls back to the current default device when the saved
+    sharding names devices that do not exist in this process (cross-platform
+    restore — the reference loads any ``torch.save`` anywhere via
+    ``map_location``; this keeps that property). Multi-host resume always
+    passes ``target`` (the trainers do), so the single-device fallback only
+    serves the predict/eval/export paths.
 
     Safe against live in-process writers: a pending save still owned by a
     CheckpointWriter in this process is left for that writer's own ``wait()``
@@ -186,7 +206,11 @@ def restore_checkpoint(path: str, target: Optional[Any] = None
     if target is not None:
         device_state = ckptr.restore(state_path, target)
     else:
-        device_state = ckptr.restore(state_path)
+        try:
+            device_state = ckptr.restore(state_path)
+        except ValueError:
+            device_state = ckptr.restore(
+                state_path, _default_device_target(ckptr, state_path))
     with open(os.path.join(path, "host_state.json")) as f:
         host_state = json.load(f)
     return device_state, host_state

@@ -139,6 +139,39 @@ def test_checkpoint_roundtrip(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_checkpoint_restore_cross_platform_fallback(tmp_path, monkeypatch):
+    """A checkpoint saved on a device type absent at restore time (TPU-trained,
+    CPU predict/eval) must still load: orbax replays the SAVED sharding
+    metadata and raises ValueError('Device ... was not found'); our restore
+    falls back to a metadata-built target on the current default device — the
+    torch.load(map_location=...) analog. Simulated here by failing the first
+    (saved-topology) restore; the real cross-platform case was driven against
+    the TPU-trained gan_64 checkpoint (docs/design.md)."""
+    import orbax.checkpoint as ocp
+    model, tx, state, batch = _tiny_setup()
+    path = str(tmp_path / "ck")
+    save_checkpoint(path, {"params": state.params}, {"epoch": 1})
+
+    orig = ocp.StandardCheckpointer.restore
+    calls = []
+
+    def fake(self, directory, target=None, *a, **k):
+        calls.append(target is None)
+        if target is None:  # the saved-topology attempt
+            raise ValueError("Device TPU v5 lite0 was not found in "
+                             "jax.local_devices().")
+        return orig(self, directory, target, *a, **k)
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "restore", fake)
+    restored, host = restore_checkpoint(path)
+    assert calls == [True, False] and host["epoch"] == 1
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding == jax.sharding.SingleDeviceSharding(
+            jax.local_devices()[0])
+
+
 def _tiny_config(tmp_path, epochs=2):
     # batch 8 over the 8 virtual CPU devices -> the smoke test also exercises the
     # shard_map DP path end-to-end (1 sample per device shard).
