@@ -26,8 +26,9 @@ predict shard_map.
   gives ``|h| < 1`` strictly), so the analytic 1/127 scale
   (``ops.quant.UNIT_SCALE``) would be *safe* — but converged checkpoints
   hold hidden activations far below the bound, and the static grid cost
-  0.1-0.19 SSIM on trained models (design.md, round-5 trained-ckpt eval).
-  Hidden inputs therefore use the same per-sample dynamic scale.
+  0.1-0.19 SSIM on trained models (design.md, round-5 trained-ckpt eval
+  of the original static-scale variant). Hidden inputs therefore use the
+  same per-sample dynamic scale.
 - Weights are per-output-channel symmetric int8; the dequant is a [4*Ch]
   broadcast multiply XLA fuses into the conv epilogue.
 
@@ -104,7 +105,8 @@ def _int8_step(q: Int8Forecaster, states, x):
     trained hidden activations sit far below the bound (absmax ~0.05 gives
     ~6 effective levels out of 255), which is exactly the quality regression
     the trained-ckpt eval measured (design.md: nowcast_128 SSIM -0.098,
-    gan_64 SSIM -0.190 with static scales; recovered with dynamic). The extra
+    gan_64 SSIM -0.190 with static scales; dynamic-scale re-eval queued in
+    experiments/tpu_revalidate_r5b.sh). The extra
     cost is one VPU absmax per conv input — irrelevant next to int8's
     already-measured latency negative."""
     h0, c0 = states[0]
