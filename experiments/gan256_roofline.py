@@ -166,8 +166,10 @@ def main():
     gen, disc, gtx, dtx, st = build()
     gan_step = make_gan_train_step(gen.apply, disc.apply, gtx, dtx,
                                    lambda_adv=LAMBDA_ADV, lambda_l1=LAMBDA_L1)
-    gan_cost = compiled_cost(
-        lambda s, b: gan_step(s, b, glr, glr, tf, key)[0], st, (inp, tgt))
+    # pass the jitted step itself — a wrapper lambda would be a DIFFERENT
+    # program and pay a second cold tunnel compile of the full 256px step
+    # (the r4 steps-5/6 timeout failure mode)
+    gan_cost = compiled_cost(gan_step, st, (inp, tgt), glr, glr, tf, key)
 
     gfwd = jax.jit(lambda p, x: gen.apply(p, x))
     # the GAN/L1 steps DONATE their state (CLAUDE.md gotcha) — give each
@@ -179,8 +181,7 @@ def main():
     ltx = make_optimizer(0.5)
     lstate = TrainState(gp_l1, ltx.init(gp_l1), jnp.zeros((), jnp.int32))
     l1_step = make_forecaster_train_step(gen.apply, ltx)
-    l1_cost = compiled_cost(
-        lambda s, b: l1_step(s, b, glr, tf, key)[0], lstate, (inp, tgt))
+    l1_cost = compiled_cost(l1_step, lstate, (inp, tgt), glr, tf, key)
 
     # warm + time (chained steady-state, one fetch — tunnel per-call tax)
     st2, m = gan_step(st, (inp, tgt), glr, glr, tf, key)
@@ -262,8 +263,7 @@ def main():
     genv, discv, gtxv, dtxv, stv = build()
     vstep = make_vjp_gan_step(genv.apply, discv.apply, gtxv, dtxv,
                               LAMBDA_ADV, LAMBDA_L1)
-    vcost = compiled_cost(
-        lambda s, b: vstep(s, b, glr, glr, tf, key)[0], stv, (inp, tgt))
+    vcost = compiled_cost(vstep, stv, (inp, tgt), glr, glr, tf, key)
     stv, mv = vstep(stv, (inp, tgt), glr, glr, tf, key)
     _ = float(mv["g_total"])
     rv = benchmark_chained(
