@@ -75,7 +75,9 @@ def bench_jax(iters: int) -> dict:
         roofline = {"flops": cost["flops"] * trips,
                     "bytes": cost["bytes_accessed"] * trips}
     except Exception as e:  # cost model availability varies by backend
-        skips["mfu"] = f"cost model unavailable: {e}"
+        # one failure drops all four modeled rows — name them all
+        skips["mfu+modeled_tflops_per_s+modeled_hbm_gbps"
+              "+modeled_hbm_frac_of_roofline"] = f"cost model unavailable: {e}"
 
     # warmup/compile; float() fetch is the reliable full-pipeline sync through
     # the axon tunnel (block_until_ready alone under-reports there)
@@ -341,10 +343,17 @@ def bench_secondary(iters: int) -> dict:
                 "auto dispatch rejected (streamed-I/O variant not "
                 "hardware-validated at 256px, or budget exceeded)")
 
-        # flagship nowcast_128 family (3 equal-width cells, 5-in/20-out):
-        # the hardware-validated rollout kernel `auto` now serves vs the XLA
-        # scan — the round-5 headline serving win (-36.7% measured on v5e)
-        from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import rollout_pallas
+    except Exception as e:  # the headline must survive a streaming regression
+        skips["streaming_rows"] = repr(e)
+
+    # flagship nowcast_128 family (3 equal-width cells, 5-in/20-out): the
+    # hardware-validated rollout kernel `auto` now serves vs the XLA scan —
+    # the round-5 headline serving win (-36.7% measured on v5e). Independent
+    # of the streaming branch, so its own try: a streaming regression must
+    # not silently drop these rows (the round-4 missing-row harness bug).
+    try:
+        from pl_convlstm_gan_tpu.ops.pallas.rollout_kernel import (
+            rollout_pallas, rollout_pallas_fits)
         fl_in = jnp.asarray(
             rng.random((4, 5, 1, 128, 128)).astype(np.float32))
         fl = ConvLSTMForecaster(hidden_dims=(64, 64, 64), input_frames=5,
@@ -369,8 +378,8 @@ def bench_secondary(iters: int) -> dict:
                 if jax.default_backend() != "tpu" else
                 "auto dispatch rejected the flagship 3-cell family "
                 "(_MOSAIC_VALIDATED_CELLS regressed?)")
-    except Exception as e:  # the headline must survive a streaming regression
-        skips["streaming_rows"] = repr(e)
+    except Exception as e:
+        skips["flagship3_rows"] = repr(e)
     out["_skips"] = skips
     return out
 

@@ -53,8 +53,9 @@ from ..ops.quant import (QuantConv, apply_quant_conv, dynamic_scale,
 
 
 class Int8Cell0(NamedTuple):
-    """First cell, linearity-split: x-side conv (dynamic act scale, no bias)
-    + h-side conv (analytic 1/127 scale, carries the cell bias)."""
+    """First cell, linearity-split: x-side conv (frame input, no bias) +
+    h-side conv (carries the cell bias). Both take per-sample dynamic act
+    scales at apply time (`_int8_step`)."""
     conv_x: QuantConv
     conv_h: QuantConv
 

@@ -208,7 +208,11 @@ def restore_checkpoint(path: str, target: Optional[Any] = None
     else:
         try:
             device_state = ckptr.restore(state_path)
-        except ValueError:
+        except ValueError as e:
+            # only the cross-platform case — any other ValueError (corrupt
+            # tree, structural mismatch) should surface as itself
+            if "was not found in jax.local_devices" not in str(e):
+                raise
             device_state = ckptr.restore(
                 state_path, _default_device_target(ckptr, state_path))
     with open(os.path.join(path, "host_state.json")) as f:
