@@ -41,15 +41,10 @@ setup_compile_cache()
 import jax
 import jax.numpy as jnp
 
-from pl_convlstm_gan_tpu.losses.adversarial import (discriminator_loss,
-                                                    gan_generator_loss)
 from pl_convlstm_gan_tpu.models import ConvLSTMForecaster, Discriminator
 from pl_convlstm_gan_tpu.train import (GANTrainState, TrainState,
                                        make_forecaster_train_step,
                                        make_gan_train_step, make_optimizer)
-from pl_convlstm_gan_tpu.train.steps import (_apply_updates_dynamic_lr,
-                                             _global_ok, _reduced_safe_grads,
-                                             _select)
 from pl_convlstm_gan_tpu.utils.profiling import (benchmark_chained,
                                                  compiled_cost)
 
@@ -62,54 +57,15 @@ PEAK_TFLOPS, HBM_GBPS = 197.0, 819.0
 
 def make_vjp_gan_step(gen_apply, disc_apply, gen_tx, disc_tx,
                       lambda_adv, lambda_l1):
-    """One-forward restructure of train.steps.gan_step_body: jax.vjp runs the
-    G forward ONCE; the D update consumes stop_grad(fake); the G grad pulls
-    the (adv + L1) cotangent back through the saved vjp AFTER the D update.
-    Identical math (same params/rng in both forwards of the original), same
-    NaN-guard semantics."""
-
-    def step(state: GANTrainState, batch, g_lr, d_lr, tf_prob, rng):
-        inputs, targets = batch
-        fake, gen_vjp = jax.vjp(
-            lambda gp: gen_apply(gp, inputs, targets=targets,
-                                 teacher_forcing_prob=tf_prob, rng=rng),
-            state.gen_params)
-
-        def d_loss_fn(dp):
-            real_logits = disc_apply(dp, targets)
-            fake_logits = disc_apply(dp, jax.lax.stop_gradient(fake))
-            return discriminator_loss(real_logits, fake_logits, 0.0)
-
-        (d_total, d_parts), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.disc_params)
-        d_ok = _global_ok(d_total, None)
-        d_grads = _reduced_safe_grads(d_grads, d_ok, None)
-        new_dp, new_dopt = _apply_updates_dynamic_lr(
-            disc_tx, state.disc_params, d_grads, state.disc_opt_state, d_lr)
-        new_dp = _select(d_ok, new_dp, state.disc_params)
-        new_dopt = _select(d_ok, new_dopt, state.disc_opt_state)
-
-        def g_loss_from_fake(f):
-            fake_logits = disc_apply(new_dp, f)
-            return gan_generator_loss(fake_logits, f, targets,
-                                      lambda_adv, lambda_l1)
-
-        (g_total, g_parts), fbar = jax.value_and_grad(
-            g_loss_from_fake, has_aux=True)(fake)
-        (g_grads,) = gen_vjp(fbar)
-        g_ok = _global_ok(g_total, None)
-        g_grads = _reduced_safe_grads(g_grads, g_ok, None)
-        new_gp, new_gopt = _apply_updates_dynamic_lr(
-            gen_tx, state.gen_params, g_grads, state.gen_opt_state, g_lr)
-        new_gp = _select(g_ok, new_gp, state.gen_params)
-        new_gopt = _select(g_ok, new_gopt, state.gen_opt_state)
-
-        metrics = {"g_total": g_total, "d_total": d_total, **g_parts,
-                   **d_parts}
-        return GANTrainState(new_gp, new_dp, new_gopt, new_dopt,
-                             state.step + 1), metrics
-
-    return jax.jit(step, donate_argnums=(0,))
+    """One-forward restructure — now the PRODUCTION `gan_step_impl: vjp`
+    path (train.steps.gan_step_body(impl="vjp"), promoted from this
+    experiment's original inline copy so the A/B measures the code that
+    ships): jax.vjp runs the G forward ONCE; the D update consumes
+    stop_grad(fake); the G grad pulls the (adv + L1) cotangent back through
+    the saved vjp AFTER the D update. Identical math, same NaN-guard."""
+    return make_gan_train_step(gen_apply, disc_apply, gen_tx, disc_tx,
+                               lambda_adv=lambda_adv, lambda_l1=lambda_l1,
+                               impl="vjp")
 
 
 def cost_row(name, cost, t, trips=1):

@@ -119,6 +119,10 @@ class TrainingConfig:
     lambda_adv: float = 0.001
     lambda_l1: float = 1.0
     label_smoothing: float = 0.0                 # one-sided D label smoothing
+    # GAN step structure: "default" (two G forwards — textbook alternating)
+    # or "vjp" (one G forward under jax.vjp, ~0.78x modeled step FLOPs at the
+    # 256px shape, higher live memory; identical math — train/steps.py)
+    gan_step_impl: str = "default"
     # scheduled sampling (north-star config #4)
     scheduled_sampling: bool = False
     sampling_decay_epochs: int = 50              # teacher-forcing prob 1 -> 0 over this many epochs
@@ -248,6 +252,10 @@ class Config:
             raise ValueError(
                 f"Unknown rollout_impl: {self.model.rollout_impl!r} "
                 f"(valid: 'auto', 'xla', 'pallas', 'int8')")
+        if self.training.gan_step_impl not in ("default", "vjp"):
+            raise ValueError(
+                f"Unknown gan_step_impl: {self.training.gan_step_impl!r} "
+                f"(valid: 'default', 'vjp')")
         if self.model.remat_policy not in ("", "save_z", "dots"):
             raise ValueError(
                 f"Unknown remat_policy: {self.model.remat_policy!r} "

@@ -68,11 +68,14 @@ def make_dp_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                            disc_tx: optax.GradientTransformation, mesh: Mesh,
                            lambda_adv: float = 0.001, lambda_l1: float = 1.0,
                            axis_name: str = "data",
-                           label_smoothing: float = 0.0) -> Callable:
+                           label_smoothing: float = 0.0,
+                           impl: str = "default") -> Callable:
     """shard_map DP version of train.steps.make_gan_train_step: alternating D/G
     updates with pmean'd grads for both optimizers in one compiled program
-    (north-star config #5: v5e-16 data-parallel GAN training)."""
+    (north-star config #5: v5e-16 data-parallel GAN training).
+    ``impl``: "default" | "vjp" (see train.steps.gan_step_body)."""
     body = gan_step_body(gen_apply, disc_apply, gen_tx, disc_tx, lambda_adv,
-                         lambda_l1, label_smoothing, axis_name=axis_name)
+                         lambda_l1, label_smoothing, axis_name=axis_name,
+                         impl=impl)
     return _shard_mapped(body, mesh, axis_name, n_batch_parts=2,
                          n_scalar_args=4)

@@ -176,17 +176,19 @@ class SequenceTrainer:
                 self.train_step = make_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
                     tc.lambda_adv, tc.lambda_l1, tc.label_smoothing,
-                    shardings=shardings)
+                    shardings=shardings, impl=tc.gan_step_impl)
             elif self.data_parallel:
                 from ..parallel.train_parallel import make_dp_gan_train_step
                 self.train_step = make_dp_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
                     self.mesh, tc.lambda_adv, tc.lambda_l1,
-                    self.config.mesh.axis_name, tc.label_smoothing)
+                    self.config.mesh.axis_name, tc.label_smoothing,
+                    impl=tc.gan_step_impl)
             else:
                 self.train_step = make_gan_train_step(
                     self.model.apply, self.disc.apply, self.tx, self.disc_tx,
-                    tc.lambda_adv, tc.lambda_l1, tc.label_smoothing)
+                    tc.lambda_adv, tc.lambda_l1, tc.label_smoothing,
+                    impl=tc.gan_step_impl)
         else:
             state = TrainState(params, self.tx.init(params),
                                jnp.zeros((), jnp.int32))

@@ -401,20 +401,37 @@ def gan_step_body(gen_apply: Callable, disc_apply: Callable,
                   gen_tx: optax.GradientTransformation,
                   disc_tx: optax.GradientTransformation,
                   lambda_adv: float = 0.001, lambda_l1: float = 1.0,
-                  label_smoothing: float = 0.0, axis_name=None) -> Callable:
+                  label_smoothing: float = 0.0, axis_name=None,
+                  impl: str = "default") -> Callable:
     """Unjitted step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state,
     metrics) body; shared by the single-device jit and the shard_map DP path.
     Both GAN losses are per-sample means over equal-size shards, so pmean of
     per-shard losses/grads is the exact global-batch value. D and G each get
-    their own global NaN-skip decision."""
+    their own global NaN-skip decision.
+
+    ``impl``: "default" runs the G forward twice (once detached for the D
+    update, once under value_and_grad against the updated D — the textbook
+    alternating structure). "vjp" runs it ONCE under ``jax.vjp``: the D
+    update consumes stop_grad(fake) and the G grad pulls the (adv + L1)
+    cotangent back through the saved vjp after the D update — identical math
+    (same params/rng would make the second forward bitwise-equal anyway),
+    ~0.78x the modeled step FLOPs at the 256px GAN shape, at the memory cost
+    of holding the G forward's residuals across the D update
+    (experiments/gan256_roofline.py measures the hardware trade)."""
 
     def step(state: GANTrainState, batch, g_lr, d_lr, tf_prob, rng):
         inputs, targets = batch
         if axis_name is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(axis_name))
 
-        fake = gen_apply(state.gen_params, inputs, targets=targets,
-                         teacher_forcing_prob=tf_prob, rng=rng)
+        if impl == "vjp":
+            fake, gen_vjp = jax.vjp(
+                lambda gp: gen_apply(gp, inputs, targets=targets,
+                                     teacher_forcing_prob=tf_prob, rng=rng),
+                state.gen_params)
+        else:
+            fake = gen_apply(state.gen_params, inputs, targets=targets,
+                             teacher_forcing_prob=tf_prob, rng=rng)
 
         # --- D update (fake detached) ---
         def d_loss_fn(dp):
@@ -434,16 +451,27 @@ def gan_step_body(gen_apply: Callable, disc_apply: Callable,
         new_dopt = _select(d_ok, new_dopt, state.disc_opt_state)
 
         # --- G update against updated D ---
-        def g_loss_fn(gp):
-            fake_g = gen_apply(gp, inputs, targets=targets,
-                               teacher_forcing_prob=tf_prob, rng=rng)
-            fake_logits = disc_apply(new_dp, fake_g)
-            total, parts = gan_generator_loss(fake_logits, fake_g, targets,
+        # gradient flows to G only through its generated frames in both
+        # impls (new_dp is not a function of gen_params), so the two are
+        # mathematically identical
+        def g_loss_from_fake(f):
+            fake_logits = disc_apply(new_dp, f)
+            total, parts = gan_generator_loss(fake_logits, f, targets,
                                               lambda_adv, lambda_l1)
             return total, parts
 
-        (g_total, g_parts), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
-            state.gen_params)
+        if impl == "vjp":
+            (g_total, g_parts), fbar = jax.value_and_grad(
+                g_loss_from_fake, has_aux=True)(fake)
+            (g_grads,) = gen_vjp(fbar)
+        else:
+            def g_loss_fn(gp):
+                fake_g = gen_apply(gp, inputs, targets=targets,
+                                   teacher_forcing_prob=tf_prob, rng=rng)
+                return g_loss_from_fake(fake_g)
+
+            (g_total, g_parts), g_grads = jax.value_and_grad(
+                g_loss_fn, has_aux=True)(state.gen_params)
         g_ok = _global_ok(g_total, axis_name)
         g_grads = _reduced_safe_grads(g_grads, g_ok, axis_name)
         new_gp, new_gopt = _apply_updates_dynamic_lr(
@@ -465,7 +493,8 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
                         disc_tx: optax.GradientTransformation,
                         lambda_adv: float = 0.001, lambda_l1: float = 1.0,
                         label_smoothing: float = 0.0,
-                        shardings: Optional[Tuple] = None) -> Callable:
+                        shardings: Optional[Tuple] = None,
+                        impl: str = "default") -> Callable:
     """step(state, batch, g_lr, d_lr, tf_prob, rng) -> (state, metrics).
 
     batch = (inputs, targets). One compiled program performs: G forward ->
@@ -473,9 +502,11 @@ def make_gan_train_step(gen_apply: Callable, disc_apply: Callable,
 
     ``shardings`` = (state_shardings, batch_sharding, replicated): the GSPMD
     DPxTP path — G's cells channel-sharded on 'model', D replicated over it,
-    batch on 'data' (see make_forecaster_train_step)."""
+    batch on 'data' (see make_forecaster_train_step).
+
+    ``impl``: "default" | "vjp" (one-forward restructure — gan_step_body)."""
     step = gan_step_body(gen_apply, disc_apply, gen_tx, disc_tx, lambda_adv,
-                         lambda_l1, label_smoothing)
+                         lambda_l1, label_smoothing, impl=impl)
 
     if shardings is not None:
         state_sh, batch_sh, rep = shardings

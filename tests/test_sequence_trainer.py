@@ -56,6 +56,61 @@ def test_gan_trainer_smoke(tmp_path):
     assert all(np.isfinite(history["d_loss"]))
 
 
+def test_gan_step_vjp_impl_matches_default():
+    """`gan_step_impl: vjp` (one G forward under jax.vjp, production path for
+    the 256px-family FLOP saving — train/steps.py) must be numerically
+    equivalent to the default two-forward structure: identical fresh states,
+    one step, same losses and updated params (f32, identical rng => the
+    default's second forward is the same computation the vjp saves)."""
+    import jax
+    import jax.numpy as jnp
+    from pl_convlstm_gan_tpu.models import ConvLSTMForecaster, Discriminator
+    from pl_convlstm_gan_tpu.train import (GANTrainState, make_gan_train_step,
+                                           make_optimizer)
+
+    rng = np.random.default_rng(0)
+    inp = jnp.asarray(rng.random((2, 2, 1, 16, 16)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((2, 3, 1, 16, 16)).astype(np.float32))
+    gen = ConvLSTMForecaster(hidden_dims=(8,), input_frames=2,
+                             output_frames=3)
+    disc = Discriminator(features=(8,))
+
+    def fresh_state():
+        gp = gen.init(jax.random.PRNGKey(0), inp)
+        dp = disc.init(jax.random.PRNGKey(1), tgt)
+        gtx, dtx = make_optimizer(0.5), make_optimizer(0.5)
+        return gtx, dtx, GANTrainState(gp, dp, gtx.init(gp), dtx.init(dp),
+                                       jnp.zeros((), np.int32))
+
+    lr, tf, key = jnp.asarray(1e-3), jnp.asarray(0.5), jax.random.PRNGKey(2)
+    outs = {}
+    for impl in ("default", "vjp"):
+        gtx, dtx, st = fresh_state()
+        step = make_gan_train_step(gen.apply, disc.apply, gtx, dtx,
+                                   lambda_adv=0.01, lambda_l1=1.0, impl=impl)
+        st2, m = step(st, (inp, tgt), lr, lr, tf, key)
+        outs[impl] = (st2, m)
+
+    for k2 in ("g_total", "d_total"):
+        a = float(outs["default"][1][k2])
+        b = float(outs["vjp"][1][k2])
+        assert abs(a - b) <= 1e-6 + 1e-5 * abs(a), (k2, a, b)
+    for a, b in zip(jax.tree_util.tree_leaves(outs["default"][0].gen_params),
+                    jax.tree_util.tree_leaves(outs["vjp"][0].gen_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_gan_trainer_vjp_impl_smoke(tmp_path):
+    """The config knob drives the trainer end-to-end (incl. the shard_map DP
+    path — batch 8 over 8 virtual devices engages make_dp_gan_train_step)."""
+    t = SequenceTrainer(config=_cfg(tmp_path, "gan", gan_step_impl="vjp"))
+    history = t.train()
+    assert len(history["epoch"]) == 2
+    assert all(np.isfinite(history["g_loss"]))
+    assert all(np.isfinite(history["d_loss"]))
+
+
 def test_teacher_forcing_schedule(tmp_path):
     t = SequenceTrainer(config=_cfg(tmp_path, "forecaster"))
     assert t.teacher_forcing_prob(0) == 1.0
