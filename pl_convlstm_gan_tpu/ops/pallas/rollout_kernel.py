@@ -91,6 +91,16 @@ _MOSAIC_VALIDATED_CELLS = (2, 3)
 # user-facing predict call.
 _MOSAIC_VALIDATED_STREAMED = False
 
+# Largest spatial extent whose server-side Mosaic compile has actually
+# finished on hardware. Every validated compile+timing (cold, warm, 2- and
+# 3-cell, streamed 128px) is at <=128x128; the 256x256 compiles have now
+# outlived a 3600 s and two 7200 s budgets THREE times (r4 steps 5/6, r5
+# steps 1/2 — design.md "Streamed-I/O rollout variant"). Until one
+# completes, ``auto`` dispatch must not route a user-facing predict/forecast
+# call into a >2 h cold compile: the XLA scan serves larger frames. Explicit
+# ``rollout_impl: pallas`` may still opt in.
+_MOSAIC_VALIDATED_MAX_DIM = 128
+
 
 def _pick_tile(h: int) -> int:
     for cand in (16, 8, 4, 2, 1):
@@ -187,12 +197,16 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
 
     ``auto=True`` (implicit selection paths) additionally restricts to the
     on-device-validated ``_MOSAIC_VALIDATED_CELLS`` families / validated I/O
-    variants; explicit user opt-in (``rollout_impl: pallas``) passes
-    ``auto=False``."""
+    variants / ``_MOSAIC_VALIDATED_MAX_DIM`` spatial envelope (the 256px
+    compiles have never finished on hardware — a user-facing call must not
+    gamble a multi-hour cold compile); explicit user opt-in
+    (``rollout_impl: pallas``) passes ``auto=False``."""
     if not _family_ok(t_in, t_out, c, h, w, hidden_dims, kernel_size):
         return False
     n_cells = len(hidden_dims)
     if auto and n_cells not in _MOSAIC_VALIDATED_CELLS:
+        return False
+    if auto and max(h, w) > _MOSAIC_VALIDATED_MAX_DIM:
         return False
     ch = hidden_dims[0]
     return pick_io_mode(t_in, t_out, h, w, ch, itemsize, warm, n_cells,

@@ -231,6 +231,13 @@ def test_rollout_fits_gate():
                                auto=True)
     assert rollout_pallas_fits(5, 20, 4, 1, 128, 128, (64, 64, 64), 3, 2,
                                auto=True)
+    # auto refuses spatial extents whose Mosaic compile has never finished
+    # on hardware (256px cold resident FITS the VMEM budget, but three
+    # timed-out compile attempts mean a user-facing call must not serve it
+    # implicitly — _MOSAIC_VALIDATED_MAX_DIM); explicit opt-in still may
+    assert rollout_pallas_fits(5, 30, 1, 1, 256, 256, (64, 64), 3, 2)
+    assert not rollout_pallas_fits(5, 30, 1, 1, 256, 256, (64, 64), 3, 2,
+                                   auto=True)
     # unequal widths / 4 layers / multi-channel input: fall back
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64, 32), 3, 2)
     assert not rollout_pallas_fits(5, 10, 4, 1, 128, 128, (64,) * 4, 3, 2)
