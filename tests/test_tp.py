@@ -272,12 +272,16 @@ def test_tp_trainer_resume_roundtrip(tmp_path):
     assert np.isfinite(tr2.history["total_loss"][-1])
 
 
-def test_tp_gan_trainer_smoke(tmp_path):
+@pytest.mark.parametrize("impl", ["default", "vjp"])
+def test_tp_gan_trainer_smoke(tmp_path, impl):
     """family=gan under TP: G's cells sharded on 'model', D replicated —
-    one epoch trains with finite losses."""
+    one epoch trains with finite losses. Parametrized over gan_step_impl so
+    the one-forward vjp restructure is exercised under the GSPMD DPxTP
+    shardings path too (train/steps.py gan_step_body)."""
     from pl_convlstm_gan_tpu.train.sequence_trainer import SequenceTrainer
     cfg = _tp_config(tmp_path, family="gan")
     cfg.training.epochs = 1
+    cfg.training.gan_step_impl = impl
     tr = SequenceTrainer(config=cfg)
     history = tr.train()
     assert np.isfinite(history["g_loss"][-1])
