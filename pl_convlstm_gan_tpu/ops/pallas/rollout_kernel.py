@@ -94,8 +94,10 @@ _MOSAIC_VALIDATED_STREAMED = False
 # Largest spatial extent whose server-side Mosaic compile has actually
 # finished on hardware. Every validated compile+timing (cold, warm, 2- and
 # 3-cell, streamed 128px) is at <=128x128; the 256x256 compiles have now
-# outlived a 3600 s and two 7200 s budgets THREE times (r4 steps 5/6, r5
-# steps 1/2 — design.md "Streamed-I/O rollout variant"). Until one
+# blown their budgets FOUR times (r4 steps 5/6 at 3600 s; r5 steps 1/2 at
+# 7200 s — incl. the RESIDENT variant on a mostly-idle host, so it is the
+# 256px Mosaic compile itself, not the DMA descriptors or CPU contention —
+# design.md "Streamed-I/O rollout variant"). Until one
 # completes, ``auto`` dispatch must not route a user-facing predict/forecast
 # call into a >2 h cold compile: the XLA scan serves larger frames. Explicit
 # ``rollout_impl: pallas`` may still opt in.
