@@ -232,6 +232,23 @@ def main():
         "modeled_flops_ratio_vs_default": round(
             vcost["flops"] / gan_cost["flops"], 3)})
 
+    # --- lever a+b combo: the two independent wins (vjp removes a G
+    # forward; save_z trims the bwd's HBM traffic, the binding resource at
+    # this shape) should compose — this row decides the production default
+    # for the 256px GAN configs
+    genc, discc, gtxc, dtxc, stc = build(remat=True, remat_policy="save_z")
+    cstep = make_vjp_gan_step(genc.apply, discc.apply, gtxc, dtxc,
+                              LAMBDA_ADV, LAMBDA_L1)
+    stc, mc = cstep(stc, (inp, tgt), glr, glr, tf, key)
+    _ = float(mc["g_total"])
+    rc = benchmark_chained(
+        lambda s: cstep(s, (inp, tgt), glr, glr, tf, key)[0], stc,
+        fetch=lambda s: float(s.step), chain=4, iters=iters)
+    results.append({
+        "what": "GAN step, vjp + remat save_z",
+        "p50_s": round(rc["p50"], 4),
+        "delta_vs_default": round((rc["p50"] - t_gan) / t_gan * 100, 1)})
+
     for row in results:
         print(json.dumps(row), flush=True)
 
