@@ -313,9 +313,10 @@ def bench_secondary(iters: int) -> dict:
             out["stream_forecast30_pallas_b8_p50_s"] = res8["p50"]
 
         # 256px serving family (config #5 shapes; round-4): XLA scan, plus
-        # the streamed-I/O kernel once its Mosaic compile is hardware-
-        # validated (auto=True keeps this honest — the field appears only
-        # after _MOSAIC_VALIDATED_STREAMED flips)
+        # the streamed-I/O kernel once a 256px Mosaic compile finishes on
+        # hardware (auto=True keeps this honest — the field appears only
+        # after the _MOSAIC_VALIDATED_MAX_DIM envelope admits 256px; the
+        # streamed gate itself flipped True round 5 on the 128px win)
         sfr256 = jnp.asarray(
             rng.random((1, 5, 1, 256, 256)).astype(np.float32))
         sf256 = StreamingForecaster(scfg, svars)   # params are size-free
@@ -340,8 +341,9 @@ def bench_secondary(iters: int) -> dict:
             skips["stream256_forecast30_pallas_p50_s"] = (
                 "kernel rows are TPU-only"
                 if jax.default_backend() != "tpu" else
-                "auto dispatch rejected (streamed-I/O variant not "
-                "hardware-validated at 256px, or budget exceeded)")
+                "auto dispatch rejected: 256px exceeds the hardware-"
+                "validated <=128px Mosaic compile envelope "
+                "(_MOSAIC_VALIDATED_MAX_DIM; four timed-out 256px compiles)")
 
     except Exception as e:  # the headline must survive a streaming regression
         skips["streaming_rows"] = repr(e)

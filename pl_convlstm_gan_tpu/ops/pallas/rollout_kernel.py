@@ -79,17 +79,18 @@ _VMEM_LIMIT = 110 * 1024 * 1024
 _MOSAIC_VALIDATED_CELLS = (2, 3)
 
 # Same gate for the streamed-I/O variant (frames/outputs/warm seeds resident
-# in HBM, double-buffered per-step DMA). Its server-side Mosaic compile of
-# the DMA descriptors IS hardware-green (v5e 2026-08-19, revalidate step 4:
-# parity 1.2e-4, 10.78 vs 15.46 ms at the bench shape = -30.3%), but the
-# shapes the variant exists FOR (256x256 serving, the only family whose
-# budget needs it) never finished timing: revalidate steps 5/6 hit their
-# 3600 s timeouts while a concurrent pytest contended the 1-core host
-# during the cold compiles. Flip once a quiet-box 256px run is green
-# (experiments/tpu_revalidate_r5.sh) — until then auto serves the XLA scan
-# at those shapes rather than gamble an unmeasured cold compile in a
-# user-facing predict call.
-_MOSAIC_VALIDATED_STREAMED = False
+# in HBM, double-buffered per-step DMA). Hardware-validated at 128px (v5e
+# 2026-08-19, revalidate step 4: server-side Mosaic compile green, parity
+# 1.2e-4, 10.78 vs 15.46 ms at the bench shape = -30.3%), so ``auto`` may
+# pick it for the shapes where it is the only fitting variant WITHIN the
+# ``_MOSAIC_VALIDATED_MAX_DIM`` envelope (e.g. very long horizons at
+# <=128px, where the resident variant's VMEM I/O block overflows). The
+# 256x256 shapes the variant was originally built for remain excluded by
+# the envelope gate below: FOUR cold-compile attempts blew 3600-7200 s
+# budgets (it is the 256px Mosaic compile itself, not the DMA descriptors
+# — design.md "Streamed-I/O rollout variant"), so auto serves the XLA scan
+# there; explicit ``rollout_impl: pallas`` may still opt in.
+_MOSAIC_VALIDATED_STREAMED = True
 
 # Largest spatial extent whose server-side Mosaic compile has actually
 # finished on hardware. Every validated compile+timing (cold, warm, 2- and

@@ -398,8 +398,9 @@ def test_rollout_kernel_streamed_io_phase_sweep():
 def test_rollout_io_mode_selection():
     """The I/O-variant picker and the fits gate at the 256x256 serving
     shapes: cold fits resident; warm ONLY fits streamed (the round-3 gap the
-    streamed variant exists to close); auto (implicit) dispatch refuses
-    streamed until its Mosaic compile is hardware-validated."""
+    streamed variant exists to close); auto (implicit) dispatch admits
+    streamed (hardware-validated at 128px, -30.3%) but the >128px spatial
+    envelope still excludes the 256px family (four timed-out compiles)."""
     from pl_convlstm_gan_tpu.ops.pallas import rollout_kernel as rk
 
     # bench shape: resident everywhere
@@ -409,10 +410,21 @@ def test_rollout_io_mode_selection():
     assert rk.pick_io_mode(1, 30, 256, 256, 64, 2, warm=True) == "streamed"
     assert rk.rollout_pallas_fits(1, 30, 1, 1, 256, 256, (64, 64), 3, 2,
                                   warm=True)
-    # implicit selection stays off until on-device validation flips the gate
-    expected = "streamed" if rk._MOSAIC_VALIDATED_STREAMED else None
+    # streamed is validated for implicit selection (the picker itself has no
+    # spatial envelope — that lives in rollout_pallas_fits, asserted below)
     assert rk.pick_io_mode(1, 30, 256, 256, 64, 2, warm=True,
-                           auto=True) == expected
+                           auto=True) == "streamed"
+    # ... but the full auto gate refuses the 256px family: envelope blocks
+    assert not rk.rollout_pallas_fits(1, 30, 1, 1, 256, 256, (64, 64), 3, 2,
+                                      warm=True, auto=True)
+    # a <=128px shape whose horizon overflows the resident VMEM I/O block is
+    # the case the flipped gate serves: streamed picks, and auto accepts it
+    long_h = rk.pick_io_mode(1, 400, 128, 128, 64, 4, warm=True)
+    assert long_h == "streamed"
+    assert rk.pick_io_mode(1, 400, 128, 128, 64, 4, warm=True,
+                           auto=True) == "streamed"
+    assert rk.rollout_pallas_fits(1, 400, 1, 1, 128, 128, (64, 64), 3, 4,
+                                  warm=True, auto=True)
     # far over every budget -> no kernel
     assert rk.pick_io_mode(1, 30, 1024, 1024, 128, 4, warm=True) is None
     with pytest.raises(ValueError, match="I/O variants"):
