@@ -56,12 +56,17 @@ def test_gan_trainer_smoke(tmp_path):
     assert all(np.isfinite(history["d_loss"]))
 
 
-def test_gan_step_vjp_impl_matches_default():
+@pytest.mark.parametrize("remat", [False, True])
+def test_gan_step_vjp_impl_matches_default(remat):
     """`gan_step_impl: vjp` (one G forward under jax.vjp, production path for
     the 256px-family FLOP saving — train/steps.py) must be numerically
     equivalent to the default two-forward structure: identical fresh states,
     one step, same losses and updated params (f32, identical rng => the
-    default's second forward is the same computation the vjp saves)."""
+    default's second forward is the same computation the vjp saves).
+    remat=True additionally pins the shipping 256px combo (`gan_step_impl:
+    vjp` + `remat_policy: save_z`, the measured -24.7% default of
+    gan_256_single/dp_v5e16 — docs/design.md): rematerialization is exact
+    math, so the equivalence must hold under it unchanged."""
     import jax
     import jax.numpy as jnp
     from pl_convlstm_gan_tpu.models import ConvLSTMForecaster, Discriminator
@@ -72,7 +77,8 @@ def test_gan_step_vjp_impl_matches_default():
     inp = jnp.asarray(rng.random((2, 2, 1, 16, 16)).astype(np.float32))
     tgt = jnp.asarray(rng.random((2, 3, 1, 16, 16)).astype(np.float32))
     gen = ConvLSTMForecaster(hidden_dims=(8,), input_frames=2,
-                             output_frames=3)
+                             output_frames=3, remat=remat,
+                             remat_policy="save_z" if remat else "")
     disc = Discriminator(features=(8,))
 
     def fresh_state():
