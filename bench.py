@@ -228,12 +228,17 @@ def bench_secondary(iters: int) -> dict:
     out["parity_generator_frames_per_sec"] = 8 * 5 / res["p50"]
 
     # --- 256px GAN per-chip step (configs/gan_256_single.yaml shapes, B1 =
-    # the dp_v5e16 per-chip share)
+    # the dp_v5e16 per-chip share). Benched at the SHIPPING config knobs:
+    # gan_step_impl vjp + remat save_z, the measured-best combo at this
+    # HBM-bound shape (181.7 vs 241 ms default = -24.7%, v5e 2026-08-19,
+    # experiments/gan256_roofline.py — exact-math equivalent, pinned in
+    # tests/test_sequence_trainer.py)
     rng = np.random.default_rng(0)
     inp = jnp.asarray(rng.random((1, 5, 1, 256, 256)).astype(np.float32))
     tgt = jnp.asarray(rng.random((1, 30, 1, 256, 256)).astype(np.float32))
     gen = ConvLSTMForecaster(hidden_dims=(64, 64), input_frames=5,
-                             output_frames=30, dtype=jnp.bfloat16)
+                             output_frames=30, dtype=jnp.bfloat16,
+                             remat=True, remat_policy="save_z")
     disc = Discriminator(features=(64, 128, 256), dtype=jnp.bfloat16)
     gp = gen.init(jax.random.PRNGKey(0), inp)
     dpms = disc.init(jax.random.PRNGKey(1), tgt)
@@ -241,7 +246,8 @@ def bench_secondary(iters: int) -> dict:
     gan_state = GANTrainState(gp, dpms, gtx.init(gp), dtx.init(dpms),
                               jnp.zeros((), jnp.int32))
     gan_step = make_gan_train_step(gen.apply, disc.apply, gtx, dtx,
-                                   lambda_adv=0.001, lambda_l1=1.0)
+                                   lambda_adv=0.001, lambda_l1=1.0,
+                                   impl="vjp")
     glr2 = jnp.asarray(2e-4)
     tf = jnp.asarray(0.5)
     key = jax.random.PRNGKey(2)
