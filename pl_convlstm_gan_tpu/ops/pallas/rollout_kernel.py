@@ -104,6 +104,19 @@ _MOSAIC_VALIDATED_STREAMED = True
 # ``rollout_impl: pallas`` may still opt in.
 _MOSAIC_VALIDATED_MAX_DIM = 128
 
+# Largest spatial extent at which the row-tile loop inside the kernel body is
+# PYTHON-UNROLLED (the form every validated <=128px program compiled with —
+# keeping it byte-identical preserves the persistent compile cache). Beyond
+# this, ``cell_pass`` runs as a traced ``lax.fori_loop`` over row tiles
+# instead: Mosaic's vector code then contains ONE tile body rather than
+# n_tiles copies. Evidence that code size is what kills the big compiles:
+# nb=4 at the bench shape (4x the unrolled vector code, same op count) took
+# the compile from ~2 min to >35 min (killed; see ``_fits_vmem``), and all
+# four 256px attempts — whose unrolled form is ~4x the 128px code — blew
+# 1-2 h budgets. A looped 256px body is ~6x SMALLER than the validated
+# 128px programs, so the compile should be minutes, not hours.
+_TILE_UNROLL_MAX_DIM = 128
+
 
 def _pick_tile(h: int) -> int:
     for cand in (16, 8, 4, 2, 1):
@@ -218,7 +231,7 @@ def rollout_pallas_fits(t_in: int, t_out: int, b: int, c: int, h: int, w: int,
 
 def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                   tile: int, nb: int, n_cells: int, warm: bool,
-                  streamed: bool = False):
+                  streamed: bool = False, tile_loop: bool = False):
     """``nb`` is pinned to 1 (one batch item per grid step; the leading
     block-spec dim). The shape algebra below keeps the nb symbol because the
     leading block dim exists regardless — but nb>1 is a recorded compile-time
@@ -350,6 +363,47 @@ def _rollout_body(*refs, t_in: int, t_out: int, ch: int, hgt: int, wid: int,
                 also_ref[:, r0 + 1:r0 + 1 + tile, 1:1 + wid,
                          also_lane0:also_lane0 + ch] = h_new
 
+    def cell_pass_looped(src_ref, dst_ref, dst_lane0, w_ref, b_ref, c_ref,
+                         c_lane0, also_ref=None, also_lane0=0):
+        """``cell_pass`` with the row-tile loop TRACED (``lax.fori_loop``)
+        instead of python-unrolled: Mosaic compiles ONE tile body rather than
+        n_tiles copies, which is what makes the >128px compiles tractable
+        (see ``_TILE_UNROLL_MAX_DIM``). Every dynamic row index lands on the
+        refs' dim 1 — a non-tiled major dim (the tiled pair is the trailing
+        (sublane=width, lane=channels)) — so traced starts are Mosaic-legal;
+        iterations write disjoint row ranges, so semantics match the
+        unrolled form exactly."""
+        def tile_body(ti, _):
+            r0 = ti * tile
+            acc = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
+                                   (m, 4 * ch))
+            for tap in range(9):
+                di, dj = tap // 3, tap % 3
+                win = src_ref[:, pl.ds(r0 + di, tile), dj:dj + wid, :]
+                acc = acc + jnp.dot(win.reshape(m, lanes),
+                                    w_ref[tap],
+                                    preferred_element_type=jnp.float32)
+            z = acc.reshape(nb, tile, wid, 4 * ch)
+            c_cur = c_ref[:, pl.ds(r0, tile), :, c_lane0:c_lane0 + ch]
+            h_new, c_new = convlstm_gates(z, c_cur.astype(jnp.float32))
+            h_new = h_new.astype(xh_refs[0].dtype)
+            c_ref[:, pl.ds(r0, tile), :, c_lane0:c_lane0 + ch] = \
+                c_new.astype(c_ref.dtype)
+            dst_ref[:, pl.ds(r0 + 1, tile), 1:1 + wid,
+                    dst_lane0:dst_lane0 + ch] = h_new
+            if also_ref is not None:
+                also_ref[:, pl.ds(r0 + 1, tile), 1:1 + wid,
+                         also_lane0:also_lane0 + ch] = h_new
+            return 0
+
+        jax.lax.fori_loop(0, n_tiles, tile_body, 0)
+
+    if tile_loop:
+        cell_pass = cell_pass_looped  # noqa: F811 — head_pass stays unrolled
+        # (its vector code is ~1/10th of the cells': K=ch, N=1 taps — and its
+        # output writes index the SUBLANE dim, where dynamic starts are the
+        # one Mosaic-risky case; not worth it for the code-size tail)
+
     def head_pass(src_ref, t, x_dst_ref, o_slot: int):
         """3x3 head conv over the top cell's h (lanes [ch:2ch] of src) ->
         prediction; written to the output frame t_out slot (streamed: the
@@ -476,7 +530,8 @@ def _launch_rollout(packed, frames, h0, c0, t_out: int, interpret=None,
 
     body = functools.partial(_rollout_body, t_in=t_in, t_out=t_out, ch=ch,
                              hgt=hgt, wid=wid, tile=tile, nb=nb,
-                             n_cells=n_cells, warm=warm, streamed=streamed)
+                             n_cells=n_cells, warm=warm, streamed=streamed,
+                             tile_loop=max(hgt, wid) > _TILE_UNROLL_MAX_DIM)
     lanes = 2 * ch
     grid_block = lambda n: pl.BlockSpec((nb, n, hgt, wid),
                                         lambda i: (i, 0, 0, 0),
